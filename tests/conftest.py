@@ -1,0 +1,32 @@
+"""Test configuration: force CPU backend with 8 virtual devices and float64.
+
+Physics-correctness tests run on CPU in float64 (the oracle path); the
+sharding tests use the 8 virtual devices as a stand-in TPU mesh.  This must
+run before jax is imported anywhere else.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Force, don't setdefault: the environment ships JAX_PLATFORMS=axon and a
+# sitecustomize hook that registers the TPU backend in every interpreter.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng_key():
+    return jax.random.PRNGKey(0)
