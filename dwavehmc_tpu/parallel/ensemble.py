@@ -1,0 +1,128 @@
+"""Ensemble parallelism: vmapped chains sharded over a TPU mesh.
+
+The reference runs one Markov chain per Julia process and loops serially
+over temperature points (scripts/batch_scan_T.jl:54); its docs suggest —
+but never implement — MPI parallelism over chains (doc/algorithm.md:104,
+unused ClusterManagers dep).  Here the ensemble axis (disorder
+realizations × chains × grid points) is a leading batch dimension:
+
+ * ``vmap`` turns the single-chain sweep into a batched sweep whose eigh /
+   matmuls become large batched MXU ops,
+ * ``NamedSharding(P("chain"))`` over a 1-D device mesh shards that axis;
+   chains are embarrassingly parallel so the only collectives are the
+   observable reductions XLA inserts at the end,
+ * a whole measurement segment (many sweeps) runs as one ``lax.scan``
+   inside a single jit — the host only sees per-segment summaries.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.lattice import LatticeSpec
+from ..models.observables import ObservablesResult, measure_observables
+from ..models.params import HMCState, ModelParams, SpectralSpec
+from ..models.transport import SpectrumResult, measure_transport_and_spectra
+from ..sampler.hmc import SweepInfo, hmc_sweep, init_chain_state
+
+CHAIN_AXIS = "chain"
+
+
+def make_mesh(devices=None, axis_name: str = CHAIN_AXIS) -> Mesh:
+    """1-D mesh over all (or given) devices; chains ride this axis."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def chain_sharding(mesh: Mesh, axis_name: str = CHAIN_AXIS) -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_ensemble(states: HMCState, mesh: Mesh,
+                   axis_name: str = CHAIN_AXIS) -> HMCState:
+    """Place every leaf's leading (chain) axis across the mesh."""
+    sh = chain_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), states)
+
+
+def init_ensemble(lat: LatticeSpec, params: ModelParams, key, n_chains: int,
+                  *, dtype=jnp.float32, n_imp: float = 0.0, delta0=None,
+                  mesh: Mesh | None = None) -> HMCState:
+    """n_chains independent chains: per-chain disorder realization, Δ start
+    and PRNG key.  Optionally sharded over ``mesh``."""
+    keys = jax.random.split(key, n_chains)
+    init = functools.partial(init_chain_state, lat, params, dtype=dtype,
+                             n_imp=n_imp, delta0=delta0)
+    states = jax.vmap(init)(keys)
+    if mesh is not None:
+        states = shard_ensemble(states, mesh)
+    return states
+
+
+def ensemble_sweep(lat: LatticeSpec, params: ModelParams, states: HMCState,
+                   Nt: int, dt, *, params_axis=None
+                   ) -> tuple[HMCState, SweepInfo]:
+    """One HMC sweep on every chain.  ``params_axis=0`` maps per-chain
+    parameters (e.g. a β-grid sharded with the chains)."""
+    fn = functools.partial(hmc_sweep, lat, Nt=Nt, dt=dt)
+    return jax.vmap(fn, in_axes=(params_axis, 0))(params, states)
+
+
+class SegmentResult(NamedTuple):
+    """Per-sweep records of one scanned segment: leaves (n_sweeps, n_chains, …)."""
+
+    accepted: jax.Array
+    dH: jax.Array
+    observables: ObservablesResult
+
+
+def run_segment(lat: LatticeSpec, params: ModelParams, states: HMCState,
+                n_sweeps: int, Nt: int, dt, *, measure: bool = True,
+                params_axis=None) -> tuple[HMCState, SegmentResult]:
+    """``n_sweeps`` sweeps over the whole ensemble as ONE lax.scan —
+    the replacement for the reference's per-sweep host loop
+    (src/Simulation.jl:104-130,151-228).  jit-compiled per (Nt, n_sweeps).
+    """
+
+    def body(states, _):
+        states, info = ensemble_sweep(lat, params, states, Nt, dt,
+                                      params_axis=params_axis)
+        if measure:
+            obs = jax.vmap(functools.partial(measure_observables, lat),
+                           in_axes=(params_axis, 0))(params, states)
+        else:
+            obs = None
+        return states, (info.accepted, info.dH, obs)
+
+    states, (acc, dH, obs) = lax.scan(body, states, None, length=n_sweeps)
+    return states, SegmentResult(accepted=acc, dH=dH, observables=obs)
+
+
+def ensemble_transport(lat: LatticeSpec, spec: SpectralSpec,
+                       params: ModelParams, states: HMCState,
+                       *, params_axis=None) -> SpectrumResult:
+    """Heavy measurement on every chain (leaves gain a leading chain axis)."""
+    fn = functools.partial(measure_transport_and_spectra, lat, spec)
+    return jax.vmap(fn, in_axes=(params_axis, 0))(params, states)
+
+
+# jit wrappers with static structure args ------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7))
+def run_segment_jit(lat, params, states, n_sweeps, Nt, dt,
+                    measure=True, params_axis=None):
+    return run_segment(lat, params, states, n_sweeps, Nt, dt,
+                       measure=measure, params_axis=params_axis)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def ensemble_transport_jit(lat, spec, params, states, params_axis=None):
+    return ensemble_transport(lat, spec, params, states,
+                              params_axis=params_axis)
