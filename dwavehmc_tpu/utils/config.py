@@ -1,0 +1,93 @@
+"""Run configuration: one dataclass + CLI parser.
+
+The reference has no config system — parameters are positional constructor
+args plus constants edited at the top of each script (SURVEY §5).  Here a
+single ``RunConfig`` covers lattice, physics, spectral grid, HMC schedule
+and ensemble settings, serializes to JSON next to the outputs, and feeds
+every scan driver through ``add_cli_args``/``from_namespace``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..models.lattice import LatticeSpec
+from ..models.params import ModelParams, SpectralSpec, make_params
+
+
+@dataclasses.dataclass
+class RunConfig:
+    # lattice
+    Lx: int = 24
+    Ly: int = 24
+    # physics (reference defaults: scripts/batch_scan_T.jl:10-27)
+    t: float = 1.0
+    tp: float = -0.35
+    mu: float = -1.08
+    W: float = 1.0
+    n_imp: float = 0.05
+    beta: float = 10.0
+    J: float = 0.8
+    mass: float = 1.0
+    # spectral grid (η = 8/N convention, scripts/batch_scan_T.jl:17-19)
+    eta: float | None = None        # None → 8 / (Lx·Ly)
+    domega: float | None = None     # None → 0.2·η
+    omega_max: float = 4.0
+    # HMC schedule (src/Simulation.jl:34-41 keyword defaults)
+    n_therm: int = 100
+    n_measure: int = 500
+    Nt_therm_init: int = 10
+    Nt_measure: int = 5
+    measure_transport_freq: int = 1
+    bin_size: int = 5
+    # ensemble / numerics
+    n_chains: int = 1
+    seed: int = 0
+    dtype: str = "float32"          # "float32" | "float64"
+    # io
+    out_dir: str = "runs/run"
+    verbose: bool = True
+    checkpoint_freq: int = 50
+    resume: bool = False
+
+    def lattice(self) -> LatticeSpec:
+        return LatticeSpec(self.Lx, self.Ly)
+
+    def spectral(self) -> SpectralSpec:
+        eta = self.eta if self.eta is not None else 8.0 / (self.Lx * self.Ly)
+        domega = self.domega if self.domega is not None else 0.2 * eta
+        return SpectralSpec(eta=eta, domega=domega, omega_max=self.omega_max)
+
+    def params(self) -> ModelParams:
+        return make_params(t=self.t, tp=self.tp, mu=self.mu, W=self.W,
+                           n_imp=self.n_imp, beta=self.beta, J=self.J,
+                           mass=self.mass, dtype=self.jax_dtype())
+
+    def jax_dtype(self):
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def add_cli_args(parser: argparse.ArgumentParser,
+                 defaults: RunConfig | None = None):
+    d = defaults or RunConfig()
+    for f in dataclasses.fields(RunConfig):
+        val = getattr(d, f.name)
+        if f.type == "bool" or isinstance(val, bool):
+            parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in
+                                ("1", "true", "yes"), default=val)
+        elif val is None:
+            parser.add_argument(f"--{f.name}", type=float, default=None)
+        else:
+            parser.add_argument(f"--{f.name}", type=type(val), default=val)
+    return parser
+
+
+def from_namespace(ns: argparse.Namespace) -> RunConfig:
+    names = {f.name for f in dataclasses.fields(RunConfig)}
+    return RunConfig(**{k: v for k, v in vars(ns).items() if k in names})
