@@ -1,0 +1,226 @@
+"""Parameter-scan drivers: the production workloads.
+
+Rebuilds scripts/batch_scan_T.jl / batch_scan_beta.jl two ways:
+
+ * ``run_scan_serial`` — exact reference semantics: one full
+   ``run_simulation`` (adaptive thermalization included) per grid point,
+   each writing its own ``<prefix><value>/`` directory
+   (scripts/batch_scan_T.jl:54-74).
+
+ * ``run_scan_vectorized`` — the TPU-first flagship: every (grid point ×
+   replica chain) is one row of a single vmapped ensemble with per-chain
+   (β, dt), sharded over the device mesh, the whole measurement phase
+   running as jit-compiled scans.  The reference's 24-point serial loop
+   becomes one batched computation; outputs are sliced back into the same
+   per-point directory layout so all post-processing tooling works
+   unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.params import ModelParams
+from ..parallel.ensemble import (
+    ensemble_transport_jit,
+    init_ensemble,
+    make_mesh,
+    run_segment_jit,
+    shard_ensemble,
+)
+from ..sampler.hmc import calc_optimal_dt
+from ..utils.config import RunConfig
+from ..utils.io import (
+    OBS_HEADER,
+    TRANS_HEADER,
+    CsvWriter,
+    SpectraBinStore,
+    TeeLogger,
+    write_json,
+)
+from .simulation import run_simulation
+
+
+def default_T_grid(n=24, lo=1e-4, hi=1e3) -> np.ndarray:
+    """Log-spaced temperature grid (scripts/batch_scan_T.jl:10-27)."""
+    return np.logspace(np.log10(lo), np.log10(hi), n)
+
+
+def default_beta_grid(n=24, lo=0.01, hi=1e5) -> np.ndarray:
+    """Log-spaced β grid (scripts/batch_scan_beta.jl:22-25)."""
+    return np.logspace(np.log10(lo), np.log10(hi), n)
+
+
+def run_scan_serial(cfg: RunConfig, values, *, scan_param: str = "T",
+                    out_root: str | None = None) -> list[dict]:
+    """One run_simulation per grid value.  ``scan_param``: "T" (β = 1/T)
+    or any RunConfig field name (e.g. "beta", "J", "W")."""
+    out_root = out_root or cfg.out_dir
+    os.makedirs(out_root, exist_ok=True)
+    results = []
+    for v in values:
+        sub = dataclasses.replace(cfg)
+        if scan_param == "T":
+            sub.beta = 1.0 / float(v)
+        else:
+            setattr(sub, scan_param, float(v))
+        sub.out_dir = os.path.join(out_root, f"{scan_param}_{float(v):.6g}")
+        results.append(run_simulation(sub))
+    return results
+
+
+def _broadcast_params(base: ModelParams, n: int, **per_chain) -> ModelParams:
+    """ModelParams with every field broadcast to (n,); ``per_chain`` fields
+    get explicit arrays."""
+    fields = {}
+    for name in base._fields:
+        if name in per_chain:
+            fields[name] = jnp.asarray(per_chain[name],
+                                       dtype=getattr(base, name).dtype)
+        else:
+            fields[name] = jnp.broadcast_to(getattr(base, name), (n,))
+    return ModelParams(**fields)
+
+
+def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
+                        out_root: str | None = None,
+                        replicas: int | None = None,
+                        use_mesh: bool = True) -> dict:
+    """Whole grid in one ensemble: chains = len(values) × replicas.
+
+    Thermalizes with fixed ``Nt_therm_init`` and per-chain dt (the adaptive
+    controller needs per-point host loops — use run_scan_serial when exact
+    reference thermalization semantics matter), then measures with
+    ``Nt_measure``.  Writes the same per-point directory layout as the
+    serial scan.
+    """
+    out_root = out_root or cfg.out_dir
+    os.makedirs(out_root, exist_ok=True)
+    log = TeeLogger(os.path.join(out_root, "scan.log"), cfg.verbose)
+
+    values = np.asarray([float(v) for v in values])
+    G = len(values)
+    C = replicas if replicas is not None else cfg.n_chains
+    n_total = G * C
+    lat = cfg.lattice()
+    spec = cfg.spectral()
+    dtype = cfg.jax_dtype()
+
+    if scan_param == "T":
+        betas = 1.0 / values
+    elif scan_param == "beta":
+        betas = values
+    else:
+        raise ValueError("vectorized scan supports scan_param in {'T','beta'}")
+    beta_per_chain = np.repeat(betas, C)
+
+    base = cfg.params()
+    params = _broadcast_params(base, n_total, beta=beta_per_chain)
+
+    log(f"Vectorized {scan_param}-scan: {G} points x {C} replicas = "
+        f"{n_total} chains on {len(jax.devices())} device(s); "
+        f"lattice {cfg.Lx}x{cfg.Ly}")
+
+    n_dev = len(jax.devices())
+    mesh = (make_mesh() if use_mesh and n_dev > 1 and n_total % n_dev == 0
+            else None)
+    states = init_ensemble(lat, base, jax.random.PRNGKey(cfg.seed), n_total,
+                           dtype=dtype, n_imp=cfg.n_imp)
+    if mesh is not None:
+        states = shard_ensemble(states, mesh)
+
+    # --- thermalization: fixed Nt, per-chain dt ------------------------
+    Nt_th = cfg.Nt_therm_init
+    dt_th = jnp.asarray(
+        [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_th) for b in beta_per_chain],
+        dtype=dtype)
+    states, seg = run_segment_jit(lat, params, states, cfg.n_therm, Nt_th,
+                                  dt_th, False, 0, 0)
+    acc_th = np.asarray(seg.accepted).mean()
+    log(f"Thermalization done ({cfg.n_therm} sweeps, Nt={Nt_th}), "
+        f"mean acc={acc_th:.2f}")
+
+    # --- measurement ----------------------------------------------------
+    Nt_m = cfg.Nt_measure
+    dt_m = jnp.asarray(
+        [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_m) for b in beta_per_chain],
+        dtype=dtype)
+
+    # per-point output channels
+    dirs, f_obs, f_trans, stores = [], [], [], []
+    for v in values:
+        d = os.path.join(out_root, f"{scan_param}_{v:.6g}")
+        os.makedirs(d, exist_ok=True)
+        dirs.append(d)
+        header_o = OBS_HEADER if C == 1 else (
+            "Sweep,Chain," + OBS_HEADER.split(",", 1)[1])
+        header_t = TRANS_HEADER if C == 1 else (
+            "Sweep,Chain," + TRANS_HEADER.split(",", 1)[1])
+        f_obs.append(CsvWriter(os.path.join(d, "observables.csv"), header_o))
+        f_trans.append(CsvWriter(os.path.join(d, "transport.csv"), header_t))
+        stores.append(SpectraBinStore(
+            os.path.join(d, "spectra_bins.npz"), cfg.bin_size,
+            meta={"omega_grid": spec.omega_grid(),
+                  "dos_grid": spec.dos_grid(), "Lx": cfg.Lx, "Ly": cfg.Ly,
+                  scan_param: v, "eta": spec.eta, "n_chains": C}))
+    write_json(os.path.join(out_root, "scan_config.json"),
+               {**cfg.to_dict(), "scan_param": scan_param,
+                "values": values.tolist(), "replicas": C})
+
+    freq = max(1, cfg.measure_transport_freq)
+    n_done = 0
+    while n_done < cfg.n_measure:
+        n = min(freq, cfg.n_measure - n_done)
+        states, seg = run_segment_jit(lat, params, states, n, Nt_m, dt_m,
+                                      True, 0, 0)
+        acc = np.asarray(seg.accepted)
+        dH = np.asarray(seg.dH)
+        o = seg.observables
+        cols = [np.asarray(x) for x in (
+            o.total_energy, o.delta_amp, o.delta_local, o.delta_global,
+            o.S_delta, o.hole_conc, o.delta_diff, o.delta_pair,
+            o.delta_localpair)]
+        for s in range(n):
+            sweep = n_done + 1 + s
+            for g in range(G):
+                for c in range(C):
+                    idx = g * C + c
+                    row = [sweep] + ([c] if C > 1 else []) + \
+                        [bool(acc[s, idx]), dH[s, idx]] + \
+                        [col[s, idx] for col in cols]
+                    f_obs[g].row(*row)
+        n_done += n
+
+        if n_done % freq == 0:
+            res = ensemble_transport_jit(lat, spec, params, states, 0)
+            rho = np.asarray(res.superfluid_stiffness)
+            dc = np.asarray(res.dc_conductivity)
+            oc = np.asarray(res.optical_conductivity)
+            dos = np.asarray(res.dos)
+            dan = np.asarray(res.dos_AN)
+            ak = np.asarray(res.A_k0)
+            for g in range(G):
+                sl = slice(g * C, (g + 1) * C)
+                if C == 1:
+                    f_trans[g].row(n_done, rho[g * C], dc[g * C])
+                else:
+                    for c in range(C):
+                        f_trans[g].row(n_done, c, rho[g * C + c],
+                                       dc[g * C + c])
+                stores[g].add(n_done, {
+                    "opt_cond": oc[sl], "dos": dos[sl],
+                    "dos_AN": dan[sl], "A_k0": ak[sl]})
+        if n_done % 10 == 0:
+            log(f"Meas {n_done}/{cfg.n_measure}. "
+                f"Acc={acc.mean():.2f}")
+
+    for w in f_obs + f_trans:
+        w.close()
+    log("Scan done.")
+    log.close()
+    return {"dirs": dirs, "values": values.tolist(), "chains": n_total}

@@ -67,12 +67,15 @@ def init_ensemble(lat: LatticeSpec, params: ModelParams, key, n_chains: int,
 
 
 def ensemble_sweep(lat: LatticeSpec, params: ModelParams, states: HMCState,
-                   Nt: int, dt, *, params_axis=None
+                   Nt: int, dt, *, params_axis=None, dt_axis=None
                    ) -> tuple[HMCState, SweepInfo]:
     """One HMC sweep on every chain.  ``params_axis=0`` maps per-chain
-    parameters (e.g. a β-grid sharded with the chains)."""
-    fn = functools.partial(hmc_sweep, lat, Nt=Nt, dt=dt)
-    return jax.vmap(fn, in_axes=(params_axis, 0))(params, states)
+    parameters (e.g. a β-grid sharded with the chains); ``dt_axis=0`` maps
+    a per-chain step size (needed because dt ∝ 1/√β)."""
+    fn = functools.partial(hmc_sweep, lat, Nt=Nt)
+    fn2 = lambda p, s, d: fn(p, s, dt=d)  # noqa: E731
+    return jax.vmap(fn2, in_axes=(params_axis, 0, dt_axis))(
+        params, states, jnp.asarray(dt))
 
 
 class SegmentResult(NamedTuple):
@@ -85,7 +88,8 @@ class SegmentResult(NamedTuple):
 
 def run_segment(lat: LatticeSpec, params: ModelParams, states: HMCState,
                 n_sweeps: int, Nt: int, dt, *, measure: bool = True,
-                params_axis=None) -> tuple[HMCState, SegmentResult]:
+                params_axis=None, dt_axis=None
+                ) -> tuple[HMCState, SegmentResult]:
     """``n_sweeps`` sweeps over the whole ensemble as ONE lax.scan —
     the replacement for the reference's per-sweep host loop
     (src/Simulation.jl:104-130,151-228).  jit-compiled per (Nt, n_sweeps).
@@ -93,7 +97,8 @@ def run_segment(lat: LatticeSpec, params: ModelParams, states: HMCState,
 
     def body(states, _):
         states, info = ensemble_sweep(lat, params, states, Nt, dt,
-                                      params_axis=params_axis)
+                                      params_axis=params_axis,
+                                      dt_axis=dt_axis)
         if measure:
             obs = jax.vmap(functools.partial(measure_observables, lat),
                            in_axes=(params_axis, 0))(params, states)
@@ -115,11 +120,12 @@ def ensemble_transport(lat: LatticeSpec, spec: SpectralSpec,
 
 # jit wrappers with static structure args ------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8))
 def run_segment_jit(lat, params, states, n_sweeps, Nt, dt,
-                    measure=True, params_axis=None):
+                    measure=True, params_axis=None, dt_axis=None):
     return run_segment(lat, params, states, n_sweeps, Nt, dt,
-                       measure=measure, params_axis=params_axis)
+                       measure=measure, params_axis=params_axis,
+                       dt_axis=dt_axis)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 4))

@@ -1,0 +1,95 @@
+"""Scan-driver + post-processing tests: vectorized grid scan, per-point
+output layout, spectra processing and summary aggregation (rebuilds of the
+S1/S2/S5–S8 script suite as automated checks)."""
+
+import os
+
+import numpy as np
+
+from dwavehmc_tpu.drivers.postprocess import (
+    batch_process_spectra,
+    process_spectra,
+    summarize_scan,
+)
+from dwavehmc_tpu.drivers.scan import run_scan_serial, run_scan_vectorized
+from dwavehmc_tpu.utils.config import RunConfig
+
+
+def tiny_cfg(out_dir, **kw):
+    base = dict(
+        Lx=4, Ly=4, W=0.5, n_imp=0.25, J=1.0,
+        eta=0.25, domega=0.25, omega_max=1.0,
+        n_therm=6, n_measure=8, Nt_therm_init=5, Nt_measure=4,
+        measure_transport_freq=2, bin_size=2,
+        n_chains=2, seed=3, dtype="float64",
+        out_dir=out_dir, verbose=False, checkpoint_freq=0,
+    )
+    base.update(kw)
+    return RunConfig(**base)
+
+
+def test_vectorized_T_scan_layout_and_postprocess(tmp_path):
+    root = str(tmp_path / "scan")
+    cfg = tiny_cfg(root)
+    Ts = [0.5, 1.0, 2.0]
+    out = run_scan_vectorized(cfg, Ts, scan_param="T", replicas=2)
+    assert len(out["dirs"]) == 3
+    assert out["chains"] == 6
+
+    for d in out["dirs"]:
+        assert os.path.exists(os.path.join(d, "observables.csv"))
+        assert os.path.exists(os.path.join(d, "transport.csv"))
+        assert os.path.exists(os.path.join(d, "spectra_bins.npz"))
+
+    # spectra post-processing on one point
+    info = process_spectra(out["dirs"][0])
+    assert info["n_bins"] == 2   # 4 heavy measurements / bin_size 2
+    for f in ("processed_opt_cond.csv", "processed_dos.csv",
+              "processed_dos_AN.csv", "processed_ak0.csv"):
+        assert os.path.exists(os.path.join(out["dirs"][0], f))
+
+    # batch processing tolerates an invalid dir
+    os.makedirs(os.path.join(root, "T_bogus"), exist_ok=True)
+    res = batch_process_spectra(root, "T_*")
+    assert len(res["processed"]) == 3
+    assert len(res["failed"]) == 1
+
+    # summary aggregation sorted by T
+    summary = summarize_scan(root, "T_", "T")
+    with open(summary) as f:
+        lines = f.read().strip().split("\n")
+    assert len(lines) == 4
+    header = lines[0].split(",")
+    assert header[0] == "T"
+    assert "Energy_mean" in header and "Superfluid_Stiffness_mean" in header
+    Ts_sorted = [float(l.split(",")[0]) for l in lines[1:]]
+    assert Ts_sorted == sorted(Ts_sorted)
+
+
+def test_vectorized_beta_ordering_physics(tmp_path):
+    """Colder chains (larger β) must show a coherent d-wave order parameter
+    (Delta_Glob), hot chains only incoherent fluctuations — the physics the
+    β-scan exists to show (scripts/batch_scan_beta.jl)."""
+    root = str(tmp_path / "bscan")
+    cfg = tiny_cfg(root, J=1.6, n_therm=25, n_measure=20,
+                   measure_transport_freq=20, n_chains=1, W=0.0, n_imp=0.0)
+    out = run_scan_vectorized(cfg, [0.5, 100.0], scan_param="beta",
+                              replicas=1)
+    pairs = []
+    for d in out["dirs"]:
+        with open(os.path.join(d, "observables.csv")) as f:
+            rows = f.read().strip().split("\n")[1:]
+        vals = [float(r.split(",")[10]) for r in rows]  # Delta_Pair column
+        pairs.append(np.mean(vals[len(vals) // 2:]))
+    assert pairs[1] > 0.1, pairs           # cold chain: ordered d-wave
+    assert pairs[1] > 2 * pairs[0], pairs  # much larger than the hot chain
+
+
+def test_serial_scan_dirs(tmp_path):
+    root = str(tmp_path / "serial")
+    cfg = tiny_cfg(root, n_chains=1, n_therm=3, n_measure=4,
+                   measure_transport_freq=2, bin_size=1)
+    res = run_scan_serial(cfg, [1.0, 2.0], scan_param="T", out_root=root)
+    assert len(res) == 2
+    assert os.path.isdir(os.path.join(root, "T_1"))
+    assert os.path.isdir(os.path.join(root, "T_2"))
