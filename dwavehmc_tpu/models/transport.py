@@ -121,22 +121,36 @@ def paramagnetic_term(evals, f, J2, beta, n_sites):
     return jnp.sum(ratio * J2) / n_sites
 
 
-def dc_conductivity(evals, f, J2, beta, eta, n_sites):
+def dc_conductivity(evals, f, J2, beta, eta, n_sites, use_pallas=False):
     """σ_DC = (π/N) Σ_nm β f_n(1−f_n)·|J_nm|²·L(E_m−E_n; η)
     (src/Observables.jl:405-424)."""
+    if use_pallas:
+        from ..ops.pallas_kernels import weighted_lorentzian_sum
+        dE = (evals[None, :] - evals[:, None]).reshape(-1)
+        w = jnp.broadcast_to((beta * f * (1.0 - f))[:, None], J2.shape)
+        s = weighted_lorentzian_sum(jnp.zeros((1,), evals.dtype), -dE,
+                                    (w * J2).reshape(-1), eta)
+        return (jnp.pi / n_sites) * s[0].astype(evals.dtype)
     dE = evals[None, :] - evals[:, None]
     w = (beta * f * (1.0 - f))[:, None]
     return (jnp.pi / n_sites) * jnp.sum(w * J2 * lorentzian(dE, eta))
 
 
-def optical_conductivity(omega_grid, evals, f, J2, eta, n_sites, chunk=16):
+def optical_conductivity(omega_grid, evals, f, J2, eta, n_sites, chunk=16,
+                         use_pallas=False):
     """Re σ(ω) = (π/N) Σ_nm (f_n−f_m)/ω·|J_nm|²·L(ω−ΔE; η) on the positive
-    grid (src/Observables.jl:396-425).  ω is chunked through lax.map so the
-    peak live broadcast is (chunk, (2N)²) — the reference's triple loop is
-    ~(2N)²·n_ω ≈ 1.9e9 evaluations at production size.
+    grid (src/Observables.jl:396-425).  The reference's triple loop is
+    ~(2N)²·n_ω ≈ 1.9e9 Lorentzian evaluations at production size; here it
+    is either a Pallas VPU kernel (TPU hot path) or an ω-chunked lax.map
+    whose peak live broadcast is (chunk, (2N)²).
     """
     dE = (evals[None, :] - evals[:, None]).reshape(-1)
     W2 = ((f[:, None] - f[None, :]) * J2).reshape(-1)
+
+    if use_pallas:
+        from ..ops.pallas_kernels import weighted_lorentzian_sum
+        s = weighted_lorentzian_sum(omega_grid, dE, W2, eta)
+        return (jnp.pi / n_sites) * (s.astype(evals.dtype) / omega_grid)
 
     n_w = omega_grid.shape[0]
     n_pad = (-n_w) % chunk
@@ -191,9 +205,18 @@ def fermi_surface_map(lat: LatticeSpec, evals, evecs, eta,
 
 def measure_transport_and_spectra(lat: LatticeSpec, spec: SpectralSpec,
                                   params: ModelParams,
-                                  state: HMCState) -> SpectrumResult:
+                                  state: HMCState,
+                                  use_pallas: bool | None = None
+                                  ) -> SpectrumResult:
     """Full heavy-measurement pass given current eigenpairs
-    (src/Observables.jl:314-526)."""
+    (src/Observables.jl:314-526).
+
+    ``use_pallas``: route the σ(ω)/DC Lorentzian contraction through the
+    Pallas VPU kernel; default (None) auto-enables on TPU.
+    """
+    if use_pallas is None:
+        from ..ops.pallas_kernels import on_tpu
+        use_pallas = on_tpu()
     N = lat.n_sites
     beta, t, tp = params.beta, params.t, params.tp
     evals, evecs = state.evals, state.evecs
@@ -211,8 +234,9 @@ def measure_transport_and_spectra(lat: LatticeSpec, spec: SpectralSpec,
     omega = jnp.asarray(spec.omega_grid(), rdt)
     dosgrid = jnp.asarray(spec.dos_grid(), rdt)
 
-    dc = dc_conductivity(evals, f, J2, beta, eta, N)
-    sigma = optical_conductivity(omega, evals, f, J2, eta, N)
+    dc = dc_conductivity(evals, f, J2, beta, eta, N, use_pallas=use_pallas)
+    sigma = optical_conductivity(omega, evals, f, J2, eta, N,
+                                 use_pallas=use_pallas)
     dos = density_of_states(lat, dosgrid, evals, evecs, eta)
     dosan = antinodal_dos(lat, dosgrid, evals, evecs, eta)
     ak0 = fermi_surface_map(lat, evals, evecs, eta)
