@@ -28,7 +28,7 @@ from ..models.bdg import assemble_bdg, diagonalize, static_hamiltonian
 from ..models.lattice import LatticeSpec
 from ..models.params import HMCState, ModelParams, complex_dtype_of
 from ..ops.forces import hmc_forces
-from ..ops.spectral import total_energy
+from ..ops.spectral import energy_difference, total_energy
 
 
 class SweepInfo(NamedTuple):
@@ -132,8 +132,10 @@ def hmc_sweep(lat: LatticeSpec, params: ModelParams, state: HMCState,
         lat, H_static, params, state.delta, pi0, state.evals, state.evecs,
         Nt, dt)
 
-    H_new = total_energy(delta_n, pi_n, evals_n, beta, J, mass)
-    dH = H_new - H_old
+    # ΔH as term-by-term differences — conditioning, see energy_difference.
+    dH = energy_difference(delta_n, pi_n, evals_n,
+                           state.delta, pi0, state.evals, beta, J, mass)
+    H_new = H_old + dH
 
     u = jax.random.uniform(k_acc, (), dtype=jnp.float32)
     accept = (dH < 0) | (u < jnp.exp(-dH.astype(jnp.float32)))
