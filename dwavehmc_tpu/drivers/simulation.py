@@ -33,6 +33,7 @@ from ..parallel.ensemble import (
 from ..sampler.hmc import calc_optimal_dt
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import RunConfig
+from ..utils.profiling import PhaseTimer, device_trace
 from ..utils.io import (
     OBS_HEADER,
     TRANS_HEADER,
@@ -143,17 +144,24 @@ def run_simulation(cfg: RunConfig) -> dict:
     acc_total = 0.0
     n_done = start_sweep
     freq = max(1, cfg.measure_transport_freq)
+    timer = PhaseTimer()
+    trace_cm = device_trace(cfg.profile_dir)
+    trace_cm.__enter__()
 
     while n_done < cfg.n_measure:
         n = min(freq, cfg.n_measure - n_done)
-        states, seg = run_segment_jit(lat, params, states, n, Nt_m, dt_m,
-                                      True, None)
-        _obs_rows(f_obs, n_done + 1, seg, n_chains)
+        with timer.span("hmc"):
+            states, seg = run_segment_jit(lat, params, states, n, Nt_m, dt_m,
+                                          True, None)
+            jax.block_until_ready(states.delta)
+        with timer.span("io"):
+            _obs_rows(f_obs, n_done + 1, seg, n_chains)
         acc_total += float(np.sum(np.asarray(seg.accepted)))
         n_done += n
 
         if n_done % freq == 0:
-            res = ensemble_transport_jit(lat, spec, params, states)
+            with timer.span("transport"):
+                res = ensemble_transport_jit(lat, spec, params, states)
             rho = np.asarray(res.superfluid_stiffness)
             dc = np.asarray(res.dc_conductivity)
             if n_chains == 1:
@@ -176,8 +184,10 @@ def run_simulation(cfg: RunConfig) -> dict:
             e = float(np.mean(np.asarray(seg.observables.total_energy)))
             log(f"Meas {n_done}/{cfg.n_measure}. Acc={rate:.2f}. E={e:.4f}")
 
+    trace_cm.__exit__(None, None, None)
     save_checkpoint(ckpt_path, states, n_done)
-    log(f"Measurement Done. Total Time: {time.time()-t0:.2f}s")
+    log(f"Measurement Done. Total Time: {time.time()-t0:.2f}s "
+        f"[{timer.summary()}]")
     log.close()
     f_obs.close()
     f_trans.close()

@@ -52,6 +52,7 @@ class RunConfig:
     verbose: bool = True
     checkpoint_freq: int = 50
     resume: bool = False
+    profile_dir: str | None = None   # jax.profiler trace dir (TensorBoard)
 
     def lattice(self) -> LatticeSpec:
         return LatticeSpec(self.Lx, self.Ly)
