@@ -2,7 +2,10 @@
 
 Runs a batch of independent disordered 16×16 chains (2N = 512 BdG matrices)
 in float32 on one chip, times jit-compiled measurement segments, and prints
-ONE JSON line.
+ONE JSON line to stdout (progress goes to stderr).
+
+Also reports a batched-eigh throughput figure (the second BASELINE metric)
+and the mean acceptance rate (the third).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 anchor is an estimate of the reference's single-chain CPU throughput at the
@@ -10,8 +13,8 @@ same shape: MKL zheevd on a 512×512 complex Hermitian matrix ≈ 20 ms on a
 modern many-core CPU, ×Nt=6 per trajectory plus O(N²) forces ⇒ ≈ 7
 trajectories/sec.  (Documented estimate, not a measured number.)
 
-Env knobs: BENCH_BATCH (default 8), BENCH_L (default 16), BENCH_NT (6),
-BENCH_SWEEPS (10), BENCH_REPS (3).
+Env knobs: BENCH_BATCH (default 8), BENCH_L (16), BENCH_NT (6),
+BENCH_SWEEPS (5), BENCH_REPS (3), BENCH_SKIP_EIGH (0).
 """
 
 import json
@@ -20,6 +23,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# persistent compile cache: repeat invocations skip the 30s+ eigh compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
 
 import jax
 import jax.numpy as jnp
@@ -31,33 +39,82 @@ from dwavehmc_tpu.parallel.ensemble import init_ensemble, run_segment_jit
 REFERENCE_CPU_TRAJ_PER_SEC = 7.0
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", 8))
     L = int(os.environ.get("BENCH_L", 16))
     Nt = int(os.environ.get("BENCH_NT", 6))
-    sweeps = int(os.environ.get("BENCH_SWEEPS", 10))
+    sweeps = int(os.environ.get("BENCH_SWEEPS", 5))
     reps = int(os.environ.get("BENCH_REPS", 3))
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:  # noqa: BLE001
+        pass
+
+    dev = jax.devices()[0]
+    log(f"bench: device={dev} batch={batch} L={L} Nt={Nt} sweeps={sweeps}")
 
     lat = LatticeSpec(L, L)
     beta, J, mass = 10.0, 0.8, 1.0
     params = make_params(t=1.0, tp=-0.35, mu=-1.08, W=1.0, n_imp=0.05,
                          beta=beta, J=J, mass=mass, dtype=jnp.float32)
+
+    t0 = time.perf_counter()
     states = init_ensemble(lat, params, jax.random.PRNGKey(0), batch,
                            dtype=jnp.float32, n_imp=0.05)
-    dt = calc_optimal_dt(beta, J, mass, Nt)
+    jax.block_until_ready(states.evals)
+    log(f"init+first eigh: {time.perf_counter()-t0:.1f}s")
 
-    # warmup / compile
+    # secondary metric: batched eigh throughput (flops ≈ k·b·(2N)³ complex;
+    # we report wall ms and an effective TFLOP/s with k=32 real flops/elem,
+    # a standard QDWH-ish constant — documented, approximate)
+    eigh_ms = None
+    eigh_tflops = None
+    if os.environ.get("BENCH_SKIP_EIGH", "0") != "1":
+        from dwavehmc_tpu.models.bdg import assemble_bdg, static_hamiltonian
+
+        def batched_eigh(delta, disorder):
+            def one(d, w):
+                Hs = static_hamiltonian(lat, params.t, params.tp, params.mu, w)
+                return jnp.linalg.eigh(assemble_bdg(lat, Hs, d))
+            return jax.vmap(one)(delta, disorder)
+
+        f = jax.jit(batched_eigh)
+        t0 = time.perf_counter()
+        e, u = f(states.delta, states.disorder)
+        jax.block_until_ready((e, u))
+        log(f"eigh compile+run: {time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        n_eigh = 5
+        for _ in range(n_eigh):
+            e, u = f(states.delta, states.disorder)
+        jax.block_until_ready((e, u))
+        eigh_ms = (time.perf_counter() - t0) / n_eigh * 1e3
+        dim = lat.dim
+        eigh_tflops = 32 * batch * dim**3 / (eigh_ms * 1e-3) / 1e12
+        log(f"batched eigh ({batch},{dim},{dim}): {eigh_ms:.2f} ms "
+            f"(~{eigh_tflops:.2f} TFLOP/s effective)")
+
+    dt = calc_optimal_dt(beta, J, mass, Nt)
+    t0 = time.perf_counter()
     states, seg = run_segment_jit(lat, params, states, sweeps, Nt, dt,
                                   True, None)
     jax.block_until_ready(states.delta)
+    log(f"segment compile+run: {time.perf_counter()-t0:.1f}s")
 
     times = []
-    for _ in range(reps):
+    for r in range(reps):
         t0 = time.perf_counter()
         states, seg = run_segment_jit(lat, params, states, sweeps, Nt, dt,
                                       True, None)
         jax.block_until_ready(states.delta)
         times.append(time.perf_counter() - t0)
+        log(f"rep {r}: {times[-1]:.3f}s")
 
     best = min(times)
     traj_per_sec = batch * sweeps / best
@@ -68,7 +125,9 @@ def main():
         "unit": "traj/s",
         "vs_baseline": round(traj_per_sec / REFERENCE_CPU_TRAJ_PER_SEC, 3),
         "acceptance": round(acc, 3),
-        "device": str(jax.devices()[0]),
+        "eigh_ms": None if eigh_ms is None else round(eigh_ms, 3),
+        "eigh_tflops_eff": None if eigh_tflops is None else round(eigh_tflops, 2),
+        "device": str(dev),
         "times_s": [round(t, 4) for t in times],
     }))
 
