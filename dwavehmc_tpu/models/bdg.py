@@ -110,5 +110,11 @@ def diagonalize(H) -> tuple[jnp.ndarray, jnp.ndarray]:
 
     Replaces LAPACK ``eigen!(Hermitian(…))`` (src/Hamiltonian.jl:96-114).
     Batched over leading ensemble axes by vmap; XLA lowers to its TPU eigh.
+    Implementation selected once per process via DWAVEHMC_EIGH_IMPL
+    ("complex" default | "real_embedding" — see ops/eigh.py).
     """
-    return jnp.linalg.eigh(H)
+    import os
+
+    from ..ops.eigh import get_eigh
+
+    return get_eigh(os.environ.get("DWAVEHMC_EIGH_IMPL", "complex"))(H)
