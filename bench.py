@@ -34,7 +34,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from dwavehmc_tpu import LatticeSpec, calc_optimal_dt, make_params
-from dwavehmc_tpu.parallel.ensemble import init_ensemble, run_segment_jit
+from dwavehmc_tpu.parallel.ensemble import (
+    init_ensemble,
+    init_ensemble_real,
+    run_segment_jit,
+    run_segment_real_jit,
+)
 
 REFERENCE_CPU_TRAJ_PER_SEC = 7.0
 
@@ -49,6 +54,9 @@ def main():
     Nt = int(os.environ.get("BENCH_NT", 6))
     sweeps = int(os.environ.get("BENCH_SWEEPS", 5))
     reps = int(os.environ.get("BENCH_REPS", 3))
+    # "real" = complex-free real-symmetric-embedding path (TPU production —
+    # the axon runtime executes real dtypes only); "complex" = c64 path.
+    path = os.environ.get("BENCH_PATH", "real")
 
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -57,17 +65,22 @@ def main():
         pass
 
     dev = jax.devices()[0]
-    log(f"bench: device={dev} batch={batch} L={L} Nt={Nt} sweeps={sweeps}")
+    log(f"bench: device={dev} batch={batch} L={L} Nt={Nt} sweeps={sweeps} "
+        f"path={path}")
 
     lat = LatticeSpec(L, L)
     beta, J, mass = 10.0, 0.8, 1.0
     params = make_params(t=1.0, tp=-0.35, mu=-1.08, W=1.0, n_imp=0.05,
                          beta=beta, J=J, mass=mass, dtype=jnp.float32)
 
+    init_fn = init_ensemble_real if path == "real" else init_ensemble
+    seg_fn = run_segment_real_jit if path == "real" else run_segment_jit
+
     t0 = time.perf_counter()
-    states = init_ensemble(lat, params, jax.random.PRNGKey(0), batch,
-                           dtype=jnp.float32, n_imp=0.05)
-    jax.block_until_ready(states.evals)
+    states = init_fn(lat, params, jax.random.PRNGKey(0), batch,
+                     dtype=jnp.float32, n_imp=0.05)
+    _ = np.asarray(states.evals)   # true sync (block_until_ready can lie
+    #                                on remote-execution backends)
     log(f"init+first eigh: {time.perf_counter()-t0:.1f}s")
 
     # secondary metric: batched eigh throughput (flops ≈ k·b·(2N)³ complex;
@@ -76,49 +89,80 @@ def main():
     eigh_ms = None
     eigh_tflops = None
     if os.environ.get("BENCH_SKIP_EIGH", "0") != "1":
-        from dwavehmc_tpu.models.bdg import assemble_bdg, static_hamiltonian
+        try:
+            if path == "real":
+                from dwavehmc_tpu.models.bdg_real import (
+                    assemble_embedding, diagonalize_embedding,
+                    static_embedding,
+                )
 
-        def batched_eigh(delta, disorder):
-            def one(d, w):
-                Hs = static_hamiltonian(lat, params.t, params.tp, params.mu, w)
-                return jnp.linalg.eigh(assemble_bdg(lat, Hs, d))
-            return jax.vmap(one)(delta, disorder)
+                def batched_eigh(p, dre, dim_, disorder):
+                    def one(dr, di, w):
+                        Ms = static_embedding(lat, p.t, p.tp, p.mu, w)
+                        return diagonalize_embedding(
+                            assemble_embedding(lat, Ms, dr, di))[0]
+                    return jax.vmap(one)(dre, dim_, disorder)
 
-        f = jax.jit(batched_eigh)
-        t0 = time.perf_counter()
-        e, u = f(states.delta, states.disorder)
-        jax.block_until_ready((e, u))
-        log(f"eigh compile+run: {time.perf_counter()-t0:.1f}s")
-        t0 = time.perf_counter()
-        n_eigh = 5
-        for _ in range(n_eigh):
-            e, u = f(states.delta, states.disorder)
-        jax.block_until_ready((e, u))
-        eigh_ms = (time.perf_counter() - t0) / n_eigh * 1e3
-        dim = lat.dim
-        eigh_tflops = 32 * batch * dim**3 / (eigh_ms * 1e-3) / 1e12
-        log(f"batched eigh ({batch},{dim},{dim}): {eigh_ms:.2f} ms "
-            f"(~{eigh_tflops:.2f} TFLOP/s effective)")
+                f = jax.jit(batched_eigh)
+                args = (params, states.delta_re, states.delta_im,
+                        states.disorder)
+                dim = 2 * lat.dim    # real embedding is 4N
+                flop_k = 9           # real symmetric eigh ~ (4N)³·k
+            else:
+                from dwavehmc_tpu.models.bdg import (
+                    assemble_bdg, static_hamiltonian,
+                )
+
+                def batched_eigh(p, delta, disorder):
+                    def one(d, w):
+                        Hs = static_hamiltonian(lat, p.t, p.tp, p.mu, w)
+                        return jnp.linalg.eigh(assemble_bdg(lat, Hs, d))[0]
+                    return jax.vmap(one)(delta, disorder)
+
+                f = jax.jit(batched_eigh)
+                args = (params, states.delta, states.disorder)
+                dim = lat.dim
+                flop_k = 32          # complex eigh ~ (2N)³·k real flops
+
+            t0 = time.perf_counter()
+            e = f(*args)
+            _ = np.asarray(e)
+            log(f"eigh compile+run: {time.perf_counter()-t0:.1f}s")
+            t0 = time.perf_counter()
+            n_eigh = 5
+            for _ in range(n_eigh):
+                e = f(*args)
+            _ = np.asarray(e)
+            eigh_ms = (time.perf_counter() - t0) / n_eigh * 1e3
+            eigh_tflops = flop_k * batch * dim**3 / (eigh_ms * 1e-3) / 1e12
+            log(f"batched eigh ({batch},{dim},{dim}): {eigh_ms:.2f} ms "
+                f"(~{eigh_tflops:.2f} TFLOP/s effective)")
+        except Exception as e:  # noqa: BLE001 — sub-bench must not kill headline
+            log(f"eigh sub-bench failed: {type(e).__name__}: {e}")
 
     dt = calc_optimal_dt(beta, J, mass, Nt)
+
+    def sync(states, seg):
+        """True device sync: transfer the acceptance mask (tiny), which
+        depends on the whole segment computation."""
+        return np.asarray(seg.accepted)
+
     t0 = time.perf_counter()
-    states, seg = run_segment_jit(lat, params, states, sweeps, Nt, dt,
-                                  True, None)
-    jax.block_until_ready(states.delta)
+    states, seg = seg_fn(lat, params, states, sweeps, Nt, dt, True, None)
+    acc_arr = sync(states, seg)
     log(f"segment compile+run: {time.perf_counter()-t0:.1f}s")
 
     times = []
     for r in range(reps):
         t0 = time.perf_counter()
-        states, seg = run_segment_jit(lat, params, states, sweeps, Nt, dt,
-                                      True, None)
-        jax.block_until_ready(states.delta)
+        states, seg = seg_fn(lat, params, states, sweeps, Nt, dt, True, None)
+        acc_arr = sync(states, seg)
         times.append(time.perf_counter() - t0)
         log(f"rep {r}: {times[-1]:.3f}s")
 
     best = min(times)
     traj_per_sec = batch * sweeps / best
-    acc = float(np.mean(np.asarray(seg.accepted)))
+    acc = float(np.mean(acc_arr))
     print(json.dumps({
         "metric": f"hmc_trajectories_per_sec_per_chip_{L}x{L}_b{batch}_Nt{Nt}",
         "value": round(traj_per_sec, 3),

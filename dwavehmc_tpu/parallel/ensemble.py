@@ -118,6 +118,54 @@ def ensemble_transport(lat: LatticeSpec, spec: SpectralSpec,
     return jax.vmap(fn, in_axes=(params_axis, 0))(params, states)
 
 
+# real-pair (complex-free) ensemble — the TPU production path ---------------
+
+def init_ensemble_real(lat: LatticeSpec, params: ModelParams, key,
+                       n_chains: int, *, dtype=jnp.float32,
+                       n_imp: float = 0.0, mesh: Mesh | None = None):
+    from ..sampler.hmc_real import init_chain_state_real
+
+    keys = jax.random.split(key, n_chains)
+    init = functools.partial(init_chain_state_real, lat, params,
+                             dtype=dtype, n_imp=n_imp)
+    states = jax.vmap(init)(keys)
+    if mesh is not None:
+        states = shard_ensemble(states, mesh)
+    return states
+
+
+def run_segment_real(lat: LatticeSpec, params: ModelParams, states,
+                     n_sweeps: int, Nt: int, dt, *, measure: bool = True,
+                     params_axis=None, dt_axis=None):
+    """Real-path equivalent of run_segment (complex-free throughout)."""
+    from ..models.observables_real import measure_observables_real
+    from ..sampler.hmc_real import hmc_sweep_real
+
+    sweep = functools.partial(hmc_sweep_real, lat, Nt=Nt)
+    sweep2 = lambda p, s, d: sweep(p, s, dt=d)  # noqa: E731
+
+    def body(states, _):
+        states, info = jax.vmap(sweep2, in_axes=(params_axis, 0, dt_axis))(
+            params, states, jnp.asarray(dt))
+        if measure:
+            obs = jax.vmap(functools.partial(measure_observables_real, lat),
+                           in_axes=(params_axis, 0))(params, states)
+        else:
+            obs = None
+        return states, (info.accepted, info.dH, obs)
+
+    states, (acc, dH, obs) = lax.scan(body, states, None, length=n_sweeps)
+    return states, SegmentResult(accepted=acc, dH=dH, observables=obs)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8))
+def run_segment_real_jit(lat, params, states, n_sweeps, Nt, dt,
+                         measure=True, params_axis=None, dt_axis=None):
+    return run_segment_real(lat, params, states, n_sweeps, Nt, dt,
+                            measure=measure, params_axis=params_axis,
+                            dt_axis=dt_axis)
+
+
 # jit wrappers with static structure args ------------------------------------
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8))

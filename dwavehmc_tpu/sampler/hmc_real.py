@@ -1,0 +1,156 @@
+"""Complex-free HMC sweep — the TPU production path.
+
+Identical sampling semantics to sampler/hmc.py (same leapfrog conventions,
+same Metropolis, same per-chain keys; reference src/HMC.jl:71-144) but all
+state is real: fields/momenta as (re, im) pairs and the BdG problem as the
+real-symmetric embedding (models/bdg_real.py).  Exact agreement with the
+complex path is enforced by tests/test_real_path.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.bdg_real import (
+    assemble_embedding,
+    diagonalize_embedding,
+    static_embedding,
+)
+from ..models.lattice import LatticeSpec
+from ..models.params import ModelParams
+from ..ops.forces_real import hmc_forces_real
+from .hmc import SweepInfo, calc_optimal_dt  # noqa: F401  (re-export)
+
+
+class HMCStateReal(NamedTuple):
+    """Real-pair Markov state.  X + iY are the complex eigenvector parts."""
+
+    delta_re: jax.Array    # (N, 2)
+    delta_im: jax.Array
+    pi_re: jax.Array       # (N, 2)
+    pi_im: jax.Array
+    disorder: jax.Array    # (N,)
+    evals: jax.Array       # (2N,)
+    X: jax.Array           # (2N, 2N)
+    Y: jax.Array           # (2N, 2N)
+    key: jax.Array
+
+
+def from_complex_state(state) -> HMCStateReal:
+    """Convert an HMCState (complex leaves) to the real-pair layout."""
+    return HMCStateReal(
+        delta_re=state.delta.real, delta_im=state.delta.imag,
+        pi_re=state.pi.real, pi_im=state.pi.imag,
+        disorder=state.disorder, evals=state.evals,
+        X=state.evecs.real, Y=state.evecs.imag, key=state.key)
+
+
+def init_chain_state_real(lat: LatticeSpec, params: ModelParams, key, *,
+                          dtype=jnp.float32, n_imp: float | None = None,
+                          delta0_re=None, delta0_im=None,
+                          disorder=None) -> HMCStateReal:
+    from ..models.params import sample_disorder
+
+    k_dis, k_delta, k_chain = jax.random.split(key, 3)
+    N = lat.n_sites
+    if disorder is None:
+        frac = float(params.n_imp) if n_imp is None else float(n_imp)
+        disorder = sample_disorder(k_dis, lat, params.W, frac, dtype=dtype)
+    disorder = disorder.astype(dtype)
+    if delta0_re is None:
+        u = jax.random.uniform(k_delta, (2, N, 2), dtype=dtype) - 0.5
+        delta0_re, delta0_im = 0.1 * u[0], 0.1 * u[1]
+    delta0_re = delta0_re.astype(dtype)
+    delta0_im = (jnp.zeros_like(delta0_re) if delta0_im is None
+                 else delta0_im.astype(dtype))
+
+    M = assemble_embedding(
+        lat, static_embedding(lat, params.t, params.tp, params.mu, disorder),
+        delta0_re, delta0_im)
+    evals, X, Y = diagonalize_embedding(M)
+    z = jnp.zeros_like(delta0_re)
+    return HMCStateReal(delta0_re, delta0_im, z, z, disorder,
+                        evals, X, Y, k_chain)
+
+
+def _energy_terms(delta_re, delta_im, pi_re, pi_im, evals, beta, J, mass):
+    kin = jnp.sum(pi_re**2 + pi_im**2) / (2.0 * mass)
+    bos = (beta / (2.0 * J)) * jnp.sum(delta_re**2 + delta_im**2)
+    x = beta * evals
+    fer = -jnp.sum(jnp.where(evals > 0, x + 2.0 * jax.nn.softplus(-x), 0.0))
+    return kin + bos + fer
+
+
+def hmc_sweep_real(lat: LatticeSpec, params: ModelParams,
+                   state: HMCStateReal, Nt: int, dt
+                   ) -> tuple[HMCStateReal, SweepInfo]:
+    beta, J, mass = params.beta, params.J, params.mass
+    rdt = state.evals.dtype
+
+    key, k_mom, k_acc = jax.random.split(state.key, 3)
+    n = jax.random.normal(k_mom, (2,) + state.delta_re.shape, dtype=rdt)
+    scale = jnp.sqrt(mass).astype(rdt)
+    pi_re0, pi_im0 = n[0] * scale, n[1] * scale
+
+    H_old = _energy_terms(state.delta_re, state.delta_im, pi_re0, pi_im0,
+                          state.evals, beta, J, mass)
+
+    M_static = static_embedding(lat, params.t, params.tp, params.mu,
+                                state.disorder)
+    dt = jnp.asarray(dt, rdt)
+    coef = dt / (2.0 * mass)
+
+    F_re0, F_im0, _, _ = hmc_forces_real(
+        lat, state.delta_re, state.delta_im, state.evals, state.X, state.Y,
+        beta, J)
+    pi_re = pi_re0 + 0.5 * dt * F_re0
+    pi_im = pi_im0 + 0.5 * dt * F_im0
+
+    def step(carry, _):
+        dre, dim_, pre, pim, _e, _X, _Y, _Fr, _Fi = carry
+        dre = dre + coef * pre
+        dim_ = dim_ + coef * pim
+        M = assemble_embedding(lat, M_static, dre, dim_)
+        evals, X, Y = diagonalize_embedding(M)
+        Fr, Fi, _, _ = hmc_forces_real(lat, dre, dim_, evals, X, Y, beta, J)
+        pre = pre + dt * Fr
+        pim = pim + dt * Fi
+        return (dre, dim_, pre, pim, evals, X, Y, Fr, Fi), None
+
+    carry0 = (state.delta_re, state.delta_im, pi_re, pi_im,
+              state.evals, state.X, state.Y, F_re0, F_im0)
+    (dre, dim_, pre, pim, evals_n, X_n, Y_n, Fr_l, Fi_l), _ = lax.scan(
+        step, carry0, None, length=Nt)
+    pre = pre - 0.5 * dt * Fr_l
+    pim = pim - 0.5 * dt * Fi_l
+
+    # difference-based ΔH (conditioning: see ops/spectral.energy_difference)
+    d_kin = jnp.sum(pre**2 + pim**2 - pi_re0**2 - pi_im0**2) / (2.0 * mass)
+    d_bos = (beta / (2.0 * J)) * jnp.sum(
+        dre**2 + dim_**2 - state.delta_re**2 - state.delta_im**2)
+    half = evals_n.shape[-1] // 2
+    En = jnp.abs(evals_n[half:])
+    Eo = jnp.abs(state.evals[half:])
+    d_fer = -(beta * jnp.sum(En - Eo)
+              + 2.0 * jnp.sum(jax.nn.softplus(-beta * En)
+                              - jax.nn.softplus(-beta * Eo)))
+    dH = d_kin + d_bos + d_fer
+    H_new = H_old + dH
+
+    u = jax.random.uniform(k_acc, (), dtype=jnp.float32)
+    accept = (dH < 0) | (u < jnp.exp(-dH.astype(jnp.float32)))
+
+    def sel(new, old):
+        return jnp.where(accept, new, old)
+
+    new_state = HMCStateReal(
+        delta_re=sel(dre, state.delta_re), delta_im=sel(dim_, state.delta_im),
+        pi_re=pre, pi_im=pim, disorder=state.disorder,
+        evals=sel(evals_n, state.evals), X=sel(X_n, state.X),
+        Y=sel(Y_n, state.Y), key=key)
+    return new_state, SweepInfo(accepted=accept, dH=dH, H_old=H_old,
+                                H_new=H_new)
