@@ -72,6 +72,9 @@ def static_hamiltonian(lat: LatticeSpec, t, tp, mu, disorder) -> jnp.ndarray:
     Real entries stored in the complex dtype of the pairing field.
     """
     A_nn, A_nnn = adjacency(lat)
+    dtype = jnp.asarray(disorder).dtype
+    A_nn = jnp.asarray(A_nn, dtype)
+    A_nnn = jnp.asarray(A_nnn, dtype)
     diag = disorder - mu                                     # (N,)
     h = -t * A_nn - tp * A_nnn + jnp.diag(diag)              # particle block
     z = jnp.zeros_like(h)

@@ -79,6 +79,9 @@ def static_embedding(lat: LatticeSpec, t, tp, mu, disorder) -> jnp.ndarray:
     (H_static is purely real: hopping + site terms, src/Hamiltonian.jl:10-47).
     """
     A_nn, A_nnn = adjacency(lat)
+    dtype = jnp.asarray(disorder).dtype
+    A_nn = jnp.asarray(A_nn, dtype)
+    A_nnn = jnp.asarray(A_nnn, dtype)
     diag = disorder - mu
     h = -t * A_nn - tp * A_nnn + jnp.diag(diag)
     z = jnp.zeros_like(h)
@@ -99,6 +102,32 @@ def assemble_embedding(lat: LatticeSpec, M_static, delta_re, delta_im
         [delta_re[:, 0], delta_re[:, 1], delta_im[:, 0], delta_im[:, 1]])
     vals = jnp.asarray(signs, M_static.dtype) * vals_flat[src]
     return M_static.at[rows, cols].add(vals)
+
+
+def assemble_parts(lat: LatticeSpec, Hs_real, delta_re, delta_im
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(Hr, Hi) real/imag parts of the 2N×2N complex H (for the tracked
+    eigensolver, which works on complex pairs rather than the embedding).
+
+    Hr = H_static + [[0, TRr], [TRr, 0]],  Hi = [[0, TRi], [−TRi, 0]]
+    with TR the (complex-symmetric) Δ/2 pairing scatter.
+    """
+    from .bdg import pairing_scatter_indices
+
+    N = lat.n_sites
+    rows, cols = pairing_scatter_indices(lat)
+    dtype = Hs_real.dtype
+
+    def tr_block(vals_col):
+        half = 0.5 * vals_col
+        vals = jnp.concatenate([half[:, 0], half[:, 0], half[:, 1], half[:, 1]])
+        return jnp.zeros((N, N), dtype=dtype).at[rows, cols].add(vals)
+
+    TRr = tr_block(delta_re)
+    TRi = tr_block(delta_im)
+    Hr = Hs_real.at[:N, N:].add(TRr).at[N:, :N].add(TRr.T)
+    Hi = jnp.zeros_like(Hs_real).at[:N, N:].add(TRi).at[N:, :N].add(-TRi.T)
+    return Hr, Hi
 
 
 def diagonalize_embedding(M) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -136,12 +136,15 @@ def init_ensemble_real(lat: LatticeSpec, params: ModelParams, key,
 
 def run_segment_real(lat: LatticeSpec, params: ModelParams, states,
                      n_sweeps: int, Nt: int, dt, *, measure: bool = True,
-                     params_axis=None, dt_axis=None):
+                     params_axis=None, dt_axis=None, eigh_mode="exact",
+                     tracked_iters=6):
     """Real-path equivalent of run_segment (complex-free throughout)."""
     from ..models.observables_real import measure_observables_real
     from ..sampler.hmc_real import hmc_sweep_real
 
-    sweep = functools.partial(hmc_sweep_real, lat, Nt=Nt)
+    sweep = functools.partial(hmc_sweep_real, lat, Nt=Nt,
+                              eigh_mode=eigh_mode,
+                              tracked_iters=tracked_iters)
     sweep2 = lambda p, s, d: sweep(p, s, dt=d)  # noqa: E731
 
     def body(states, _):
@@ -158,12 +161,14 @@ def run_segment_real(lat: LatticeSpec, params: ModelParams, states,
     return states, SegmentResult(accepted=acc, dH=dH, observables=obs)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9, 10))
 def run_segment_real_jit(lat, params, states, n_sweeps, Nt, dt,
-                         measure=True, params_axis=None, dt_axis=None):
+                         measure=True, params_axis=None, dt_axis=None,
+                         eigh_mode="exact", tracked_iters=6):
     return run_segment_real(lat, params, states, n_sweeps, Nt, dt,
                             measure=measure, params_axis=params_axis,
-                            dt_axis=dt_axis)
+                            dt_axis=dt_axis, eigh_mode=eigh_mode,
+                            tracked_iters=tracked_iters)
 
 
 # jit wrappers with static structure args ------------------------------------

@@ -17,6 +17,7 @@ from jax import lax
 
 from ..models.bdg_real import (
     assemble_embedding,
+    assemble_parts,
     diagonalize_embedding,
     static_embedding,
 )
@@ -86,8 +87,22 @@ def _energy_terms(delta_re, delta_im, pi_re, pi_im, evals, beta, J, mass):
 
 
 def hmc_sweep_real(lat: LatticeSpec, params: ModelParams,
-                   state: HMCStateReal, Nt: int, dt
+                   state: HMCStateReal, Nt: int, dt,
+                   eigh_mode: str = "exact", tracked_iters: int = 6
                    ) -> tuple[HMCStateReal, SweepInfo]:
+    """One HMC trajectory + Metropolis.
+
+    ``eigh_mode``:
+      * "exact"   — every leapfrog step runs the exact embedding eigh.
+      * "tracked" — leapfrog steps refine the carried eigenbasis with the
+        warm-started matmul solver (ops/tracked_eigh.py, ``tracked_iters``
+        rotations, no per-step fallback so it stays vmap-efficient); ONE
+        exact eigh at trajectory end re-anchors the basis and supplies
+        Metropolis-grade energies.  Force errors ~ the tracked residual
+        only perturb the proposal; dH is computed from exact spectra, so
+        inaccurate trajectories are simply rejected rather than biasing
+        the ensemble.
+    """
     beta, J, mass = params.beta, params.J, params.mass
     rdt = state.evals.dtype
 
@@ -99,6 +114,13 @@ def hmc_sweep_real(lat: LatticeSpec, params: ModelParams,
     H_old = _energy_terms(state.delta_re, state.delta_im, pi_re0, pi_im0,
                           state.evals, beta, J, mass)
 
+    Hs_real = None
+    M_static = None
+    if eigh_mode == "tracked":
+        from ..models.bdg import static_hamiltonian
+        from ..ops.tracked_eigh import tracked_eigh_nofallback
+        Hs_real = static_hamiltonian(lat, params.t, params.tp, params.mu,
+                                     state.disorder)
     M_static = static_embedding(lat, params.t, params.tp, params.mu,
                                 state.disorder)
     dt = jnp.asarray(dt, rdt)
@@ -111,22 +133,35 @@ def hmc_sweep_real(lat: LatticeSpec, params: ModelParams,
     pi_im = pi_im0 + 0.5 * dt * F_im0
 
     def step(carry, _):
-        dre, dim_, pre, pim, _e, _X, _Y, _Fr, _Fi = carry
+        dre, dim_, pre, pim, _e, X, Y, _Fr, _Fi, _res = carry
         dre = dre + coef * pre
         dim_ = dim_ + coef * pim
-        M = assemble_embedding(lat, M_static, dre, dim_)
-        evals, X, Y = diagonalize_embedding(M)
+        if eigh_mode == "tracked":
+            hr, hi = assemble_parts(lat, Hs_real, dre, dim_)
+            evals, X, Y, res = tracked_eigh_nofallback(
+                hr, hi, X, Y, n_iter=tracked_iters)
+        else:
+            M = assemble_embedding(lat, M_static, dre, dim_)
+            evals, X, Y = diagonalize_embedding(M)
+            res = jnp.zeros((), rdt)
         Fr, Fi, _, _ = hmc_forces_real(lat, dre, dim_, evals, X, Y, beta, J)
         pre = pre + dt * Fr
         pim = pim + dt * Fi
-        return (dre, dim_, pre, pim, evals, X, Y, Fr, Fi), None
+        return (dre, dim_, pre, pim, evals, X, Y, Fr, Fi, res), res
 
     carry0 = (state.delta_re, state.delta_im, pi_re, pi_im,
-              state.evals, state.X, state.Y, F_re0, F_im0)
-    (dre, dim_, pre, pim, evals_n, X_n, Y_n, Fr_l, Fi_l), _ = lax.scan(
+              state.evals, state.X, state.Y, F_re0, F_im0,
+              jnp.zeros((), rdt))
+    (dre, dim_, pre, pim, evals_n, X_n, Y_n, Fr_l, Fi_l, _), _ = lax.scan(
         step, carry0, None, length=Nt)
     pre = pre - 0.5 * dt * Fr_l
     pim = pim - 0.5 * dt * Fi_l
+
+    if eigh_mode == "tracked":
+        # re-anchor: exact spectrum at trajectory end (Metropolis accuracy
+        # + clean warm start for the next sweep)
+        M = assemble_embedding(lat, M_static, dre, dim_)
+        evals_n, X_n, Y_n = diagonalize_embedding(M)
 
     # difference-based ΔH (conditioning: see ops/spectral.energy_difference)
     d_kin = jnp.sum(pre**2 + pim**2 - pi_re0**2 - pi_im0**2) / (2.0 * mass)

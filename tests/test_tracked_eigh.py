@@ -1,0 +1,96 @@
+"""Tracked-eigensolver tests: exactness on warm starts, fallback on cold
+starts, accuracy along a leapfrog-like path of slowly varying H."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dwavehmc_tpu import LatticeSpec, make_params, static_hamiltonian
+from dwavehmc_tpu.models.bdg import assemble_bdg
+from dwavehmc_tpu.ops.tracked_eigh import full_eigh_from_parts, tracked_eigh
+
+
+def random_H(lat, seed=0, amp=0.3):
+    rng = np.random.default_rng(seed)
+    disorder = jnp.asarray(rng.uniform(0, 0.5, lat.n_sites))
+    delta = jnp.asarray(amp * (rng.normal(size=(lat.n_sites, 2))
+                               + 1j * rng.normal(size=(lat.n_sites, 2))))
+    Hs = static_hamiltonian(lat, 1.0, -0.35, -1.08, disorder)
+    H = assemble_bdg(lat, Hs, delta)
+    return H, disorder
+
+
+def test_full_eigh_from_parts_exact():
+    lat = LatticeSpec(4, 4)
+    H, _ = random_H(lat)
+    e, Ur, Ui = full_eigh_from_parts(H.real, H.imag)
+    U = np.asarray(Ur) + 1j * np.asarray(Ui)
+    np.testing.assert_allclose(np.asarray(H) @ U, U * np.asarray(e)[None, :],
+                               atol=1e-9)
+
+
+def test_warm_start_converges_and_matches():
+    """Perturb H slightly; tracked solve from the old basis must match the
+    exact eigh without taking the fallback."""
+    lat = LatticeSpec(4, 4)
+    H, _ = random_H(lat, seed=1)
+    e0, Ur0, Ui0 = full_eigh_from_parts(H.real, H.imag)
+
+    rng = np.random.default_rng(2)
+    dP = 0.01 * (rng.normal(size=H.shape) + 1j * rng.normal(size=H.shape))
+    dP = jnp.asarray(dP + dP.conj().T)
+    H2 = H + dP
+
+    e, Ur, Ui, bad = tracked_eigh(H2.real, H2.imag, Ur0, Ui0,
+                                  n_iter=7, tol=1e-6)
+    assert not bool(bad)
+    e_exact, _, _ = full_eigh_from_parts(H2.real, H2.imag)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_exact), atol=1e-7)
+    U = np.asarray(Ur) + 1j * np.asarray(Ui)
+    np.testing.assert_allclose(np.asarray(U.conj().T @ U),
+                               np.eye(H.shape[0]), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(H2) @ U,
+                               U * np.asarray(e)[None, :], atol=1e-5)
+
+
+def test_cold_start_takes_fallback():
+    """From a random (wrong) basis the residual check must trigger the
+    exact path — and still return the right spectrum."""
+    lat = LatticeSpec(4, 4)
+    H, _ = random_H(lat, seed=3)
+    rng = np.random.default_rng(4)
+    Q, _ = np.linalg.qr(rng.normal(size=H.shape)
+                        + 1j * rng.normal(size=H.shape))
+    e, Ur, Ui, bad = tracked_eigh(H.real, H.imag,
+                                  jnp.asarray(Q.real), jnp.asarray(Q.imag),
+                                  n_iter=2, tol=1e-6)
+    assert bool(bad)
+    e_exact, _, _ = full_eigh_from_parts(H.real, H.imag)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_exact), atol=1e-9)
+
+
+def test_leapfrog_like_path_stays_warm():
+    """Walk H through 20 small steps re-using the tracked basis: every step
+    must stay on the fast path and agree with exact eigenvalues."""
+    lat = LatticeSpec(4, 4)
+    rng = np.random.default_rng(5)
+    disorder = jnp.asarray(rng.uniform(0, 0.5, lat.n_sites))
+    Hs = static_hamiltonian(lat, 1.0, -0.35, -1.08, disorder)
+    delta = jnp.asarray(0.2 * (rng.normal(size=(lat.n_sites, 2))
+                               + 1j * rng.normal(size=(lat.n_sites, 2))))
+    vel = 0.02 * (rng.normal(size=(lat.n_sites, 2))
+                  + 1j * rng.normal(size=(lat.n_sites, 2)))
+
+    H = assemble_bdg(lat, Hs, delta)
+    e, Ur, Ui = full_eigh_from_parts(H.real, H.imag)
+    n_fallback = 0
+    for _ in range(20):
+        delta = delta + jnp.asarray(vel)
+        H = assemble_bdg(lat, Hs, delta)
+        e, Ur, Ui, bad = tracked_eigh(H.real, H.imag, Ur, Ui,
+                                      n_iter=6, tol=1e-5)
+        n_fallback += int(bad)
+        e_exact, _, _ = full_eigh_from_parts(H.real, H.imag)
+        np.testing.assert_allclose(np.asarray(e), np.asarray(e_exact),
+                                   atol=1e-6)
+    assert n_fallback <= 2, n_fallback
