@@ -27,8 +27,11 @@ import numpy as np
 from ..models.params import HMCState
 from ..parallel.ensemble import (
     ensemble_transport_jit,
+    ensemble_transport_real_jit,
     init_ensemble,
+    init_ensemble_real,
     run_segment_jit,
+    run_segment_real_jit,
 )
 from ..sampler.hmc import calc_optimal_dt
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
@@ -70,6 +73,18 @@ def run_simulation(cfg: RunConfig) -> dict:
     params = cfg.params()
     dtype = cfg.jax_dtype()
     n_chains = cfg.n_chains
+    path = cfg.resolved_path()
+
+    if path == "real":
+        def seg_fn(lt, p, s, n, Nt, dt, measure, pa):
+            return run_segment_real_jit(lt, p, s, n, Nt, dt, measure, pa,
+                                        None, cfg.eigh_mode)
+        init_fn = init_ensemble_real
+        transport_fn = ensemble_transport_real_jit
+    else:
+        seg_fn = run_segment_jit
+        init_fn = init_ensemble
+        transport_fn = ensemble_transport_jit
 
     os.makedirs(cfg.out_dir, exist_ok=True)
     log = TeeLogger(os.path.join(cfg.out_dir, "simulation.log"), cfg.verbose)
@@ -97,12 +112,13 @@ def run_simulation(cfg: RunConfig) -> dict:
     ckpt_path = os.path.join(cfg.out_dir, "checkpoint.npz")
     start_sweep = 0
     if cfg.resume and os.path.exists(ckpt_path):
-        states, start_sweep, _ = load_checkpoint(ckpt_path, lat, params)
+        states, start_sweep, _ = load_checkpoint(ckpt_path, lat, params,
+                                                 state_path=path)
         log(f"Resumed from checkpoint at sweep {start_sweep}.")
     else:
         log("Initializing State...")
-        states = init_ensemble(lat, params, jax.random.PRNGKey(cfg.seed),
-                               n_chains, dtype=dtype, n_imp=cfg.n_imp)
+        states = init_fn(lat, params, jax.random.PRNGKey(cfg.seed),
+                         n_chains, dtype=dtype, n_imp=cfg.n_imp)
 
     # --- thermalization with the adaptive-Nt controller ----------------
     Nt = cfg.Nt_therm_init
@@ -115,8 +131,8 @@ def run_simulation(cfg: RunConfig) -> dict:
     if start_sweep == 0:
         while done < cfg.n_therm:
             n = min(window, cfg.n_therm - done)
-            states, seg = run_segment_jit(lat, params, states, n, Nt, dt,
-                                          False, None)
+            states, seg = seg_fn(lat, params, states, n, Nt, dt,
+                                 False, None)
             done += n
             rate = float(np.mean(np.asarray(seg.accepted)))
             old_Nt = Nt
@@ -151,9 +167,9 @@ def run_simulation(cfg: RunConfig) -> dict:
     while n_done < cfg.n_measure:
         n = min(freq, cfg.n_measure - n_done)
         with timer.span("hmc"):
-            states, seg = run_segment_jit(lat, params, states, n, Nt_m, dt_m,
-                                          True, None)
-            jax.block_until_ready(states.delta)
+            states, seg = seg_fn(lat, params, states, n, Nt_m, dt_m,
+                                 True, None)
+            jax.block_until_ready(jax.tree.leaves(states)[0])
         with timer.span("io"):
             _obs_rows(f_obs, n_done + 1, seg, n_chains)
         acc_total += float(np.sum(np.asarray(seg.accepted)))
@@ -161,7 +177,7 @@ def run_simulation(cfg: RunConfig) -> dict:
 
         if n_done % freq == 0:
             with timer.span("transport"):
-                res = ensemble_transport_jit(lat, spec, params, states)
+                res = transport_fn(lat, spec, params, states)
             rho = np.asarray(res.superfluid_stiffness)
             dc = np.asarray(res.dc_conductivity)
             if n_chains == 1:

@@ -185,3 +185,11 @@ def run_segment_jit(lat, params, states, n_sweeps, Nt, dt,
 def ensemble_transport_jit(lat, spec, params, states, params_axis=None):
     return ensemble_transport(lat, spec, params, states,
                               params_axis=params_axis)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def ensemble_transport_real_jit(lat, spec, params, states, params_axis=None):
+    from ..models.transport_real import measure_transport_and_spectra_real
+
+    fn = functools.partial(measure_transport_and_spectra_real, lat, spec)
+    return jax.vmap(fn, in_axes=(params_axis, 0))(params, states)

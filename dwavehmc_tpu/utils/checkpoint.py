@@ -21,13 +21,21 @@ from ..models.lattice import LatticeSpec
 from ..models.params import HMCState, ModelParams
 
 
-def save_checkpoint(path: str, states: HMCState, sweep_idx: int,
+def save_checkpoint(path: str, states, sweep_idx: int,
                     extra: dict | None = None):
     """Write a resumable snapshot. ``states`` may be single-chain or an
-    ensemble (leading chain axis)."""
+    ensemble (leading chain axis), complex (HMCState) or real-pair
+    (HMCStateReal) — real pairs are recombined to complex on the host, so
+    one checkpoint format serves both paths."""
+    if hasattr(states, "delta_re"):   # HMCStateReal
+        delta = np.asarray(states.delta_re) + 1j * np.asarray(states.delta_im)
+        pi = np.asarray(states.pi_re) + 1j * np.asarray(states.pi_im)
+    else:
+        delta = np.asarray(states.delta)
+        pi = np.asarray(states.pi)
     payload = {
-        "delta": np.asarray(states.delta),
-        "pi": np.asarray(states.pi),
+        "delta": delta,
+        "pi": pi,
         "disorder": np.asarray(states.disorder),
         "key": np.asarray(jax.random.key_data(states.key)),
         "sweep_idx": np.asarray(sweep_idx),
@@ -39,17 +47,49 @@ def save_checkpoint(path: str, states: HMCState, sweep_idx: int,
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, lat: LatticeSpec, params: ModelParams
+def load_checkpoint(path: str, lat: LatticeSpec, params: ModelParams,
+                    state_path: str = "complex"
                     ) -> tuple[HMCState, int, dict]:
-    """Restore state; eigenpairs are recomputed from (disorder, Δ)."""
+    """Restore state; eigenpairs are recomputed from (disorder, Δ).
+
+    ``state_path``: "complex" → HMCState; "real" → HMCStateReal (the
+    complex-free layout, rediagonalized via the real embedding)."""
     with np.load(path) as z:
-        delta = jnp.asarray(z["delta"])
-        pi = jnp.asarray(z["pi"])
+        delta_np = z["delta"]
+        pi_np = z["pi"]
         disorder = jnp.asarray(z["disorder"])
         key = jax.random.wrap_key_data(jnp.asarray(z["key"]))
         sweep_idx = int(z["sweep_idx"])
         extra = {k[len("extra_"):]: z[k] for k in z.files
                  if k.startswith("extra_")}
+
+    rdt = disorder.dtype
+    if state_path == "real":
+        from ..models.bdg_real import (
+            assemble_embedding, diagonalize_embedding, static_embedding,
+        )
+        from ..sampler.hmc_real import HMCStateReal
+
+        dre = jnp.asarray(delta_np.real, rdt)
+        dim = jnp.asarray(delta_np.imag, rdt)
+        pre = jnp.asarray(pi_np.real, rdt)
+        pim = jnp.asarray(pi_np.imag, rdt)
+
+        def diag_one(dis, dr, di):
+            Ms = static_embedding(lat, params.t, params.tp, params.mu, dis)
+            return diagonalize_embedding(assemble_embedding(lat, Ms, dr, di))
+
+        if dre.ndim == 3:
+            evals, X, Y = jax.vmap(diag_one)(disorder, dre, dim)
+        else:
+            evals, X, Y = diag_one(disorder, dre, dim)
+        state = HMCStateReal(delta_re=dre, delta_im=dim, pi_re=pre,
+                             pi_im=pim, disorder=disorder, evals=evals,
+                             X=X, Y=Y, key=key)
+        return state, sweep_idx, extra
+
+    delta = jnp.asarray(delta_np)
+    pi = jnp.asarray(pi_np)
 
     def diag_one(dis, d):
         H_static = static_hamiltonian(lat, params.t, params.tp, params.mu, dis)

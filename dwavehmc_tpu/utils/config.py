@@ -47,6 +47,8 @@ class RunConfig:
     n_chains: int = 1
     seed: int = 0
     dtype: str = "float32"          # "float32" | "float64"
+    path: str = "auto"              # "auto" | "real" | "complex" compute path
+    eigh_mode: str = "exact"        # "exact" | "tracked" (real path only)
     # io
     out_dir: str = "runs/run"
     verbose: bool = True
@@ -69,6 +71,20 @@ class RunConfig:
 
     def jax_dtype(self):
         return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+    def resolved_path(self) -> str:
+        """"real" (complex-free) on TPU, "complex" elsewhere, unless forced.
+
+        The axon TPU runtime executes real dtypes only, so "auto" always
+        picks the real-pair path on TPU."""
+        if self.path != "auto":
+            return self.path
+        import jax
+
+        try:
+            return "real" if jax.devices()[0].platform == "tpu" else "complex"
+        except Exception:  # noqa: BLE001
+            return "complex"
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
