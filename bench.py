@@ -161,7 +161,8 @@ def main():
     results = {}
     modes = os.environ.get("BENCH_MODES", "exact,tracked").split(",") \
         if path == "real" else ["exact"]
-    for mode in modes:
+
+    def run_mode(mode, states):
         t0 = time.perf_counter()
         if path == "real":
             states, seg = seg_fn(lat, params, states, sweeps, Nt, dt,
@@ -171,7 +172,6 @@ def main():
                                  True, None)
         acc_arr = sync(seg)
         log(f"[{mode}] segment compile+run: {time.perf_counter()-t0:.1f}s")
-
         times = []
         for r in range(reps):
             t0 = time.perf_counter()
@@ -185,11 +185,24 @@ def main():
             times.append(time.perf_counter() - t0)
             log(f"[{mode}] rep {r}: {times[-1]:.3f}s")
         best = min(times)
-        results[mode] = {
+        return states, {
             "traj_per_sec": batch * sweeps / best,
             "acceptance": float(np.mean(acc_arr)),
             "times_s": [round(t, 4) for t in times],
         }
+
+    for mode in modes:
+        try:
+            states, results[mode] = run_mode(mode, states)
+        except Exception as e:  # noqa: BLE001 — a crashed mode must not
+            #                     lose earlier modes' results
+            log(f"[{mode}] FAILED: {type(e).__name__}: {str(e)[:120]}")
+            break
+
+    if not results:
+        print(json.dumps({"metric": "bench_failed", "value": 0,
+                          "unit": "traj/s", "vs_baseline": 0}))
+        return
 
     best_mode = max(results, key=lambda m: results[m]["traj_per_sec"])
     r = results[best_mode]

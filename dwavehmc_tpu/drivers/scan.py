@@ -28,9 +28,12 @@ import numpy as np
 from ..models.params import ModelParams
 from ..parallel.ensemble import (
     ensemble_transport_jit,
+    ensemble_transport_real_jit,
     init_ensemble,
+    init_ensemble_real,
     make_mesh,
     run_segment_jit,
+    run_segment_real_jit,
     shard_ensemble,
 )
 from ..sampler.hmc import calc_optimal_dt
@@ -126,11 +129,23 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         f"{n_total} chains on {len(jax.devices())} device(s); "
         f"lattice {cfg.Lx}x{cfg.Ly}")
 
+    path = cfg.resolved_path()
+    if path == "real":
+        def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da):
+            return run_segment_real_jit(lt, p, s, n, Nt, dt, measure, pa,
+                                        da, cfg.eigh_mode)
+        init_fn = init_ensemble_real
+        transport_fn = ensemble_transport_real_jit
+    else:
+        seg_fn = run_segment_jit
+        init_fn = init_ensemble
+        transport_fn = ensemble_transport_jit
+
     n_dev = len(jax.devices())
     mesh = (make_mesh() if use_mesh and n_dev > 1 and n_total % n_dev == 0
             else None)
-    states = init_ensemble(lat, base, jax.random.PRNGKey(cfg.seed), n_total,
-                           dtype=dtype, n_imp=cfg.n_imp)
+    states = init_fn(lat, base, jax.random.PRNGKey(cfg.seed), n_total,
+                     dtype=dtype, n_imp=cfg.n_imp)
     if mesh is not None:
         states = shard_ensemble(states, mesh)
 
@@ -139,8 +154,8 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     dt_th = jnp.asarray(
         [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_th) for b in beta_per_chain],
         dtype=dtype)
-    states, seg = run_segment_jit(lat, params, states, cfg.n_therm, Nt_th,
-                                  dt_th, False, 0, 0)
+    states, seg = seg_fn(lat, params, states, cfg.n_therm, Nt_th,
+                         dt_th, False, 0, 0)
     acc_th = np.asarray(seg.accepted).mean()
     log(f"Thermalization done ({cfg.n_therm} sweeps, Nt={Nt_th}), "
         f"mean acc={acc_th:.2f}")
@@ -176,8 +191,8 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     n_done = 0
     while n_done < cfg.n_measure:
         n = min(freq, cfg.n_measure - n_done)
-        states, seg = run_segment_jit(lat, params, states, n, Nt_m, dt_m,
-                                      True, 0, 0)
+        states, seg = seg_fn(lat, params, states, n, Nt_m, dt_m,
+                             True, 0, 0)
         acc = np.asarray(seg.accepted)
         dH = np.asarray(seg.dH)
         o = seg.observables
@@ -197,7 +212,7 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         n_done += n
 
         if n_done % freq == 0:
-            res = ensemble_transport_jit(lat, spec, params, states, 0)
+            res = transport_fn(lat, spec, params, states, 0)
             rho = np.asarray(res.superfluid_stiffness)
             dc = np.asarray(res.dc_conductivity)
             oc = np.asarray(res.optical_conductivity)
