@@ -64,7 +64,7 @@ def _project_T(hr, hi, ur, ui):
     return tr, ti, d, jnp.max(off)
 
 
-def tracked_step(hr, hi, ur, ui, parity: int = 0):
+def tracked_step(hr, hi, ur, ui, parity=0):
     """One refinement iteration: rotate toward the eigenbasis.
 
     Rotation angles come from the exact 2×2 Jacobi formula
@@ -115,10 +115,15 @@ def tracked_eigh_nofallback(hr, hi, ur0, ui0, *, n_iter: int = 6):
     ``lax.cond`` degrades to select (both branches would execute for every
     batch element).  Returns (evals ascending, Ur, Ui, offdiag residual);
     callers are expected to run one exact eigh per sweep to re-anchor (see
-    sampler/hmc_real.hmc_sweep_real with eigh_mode="tracked")."""
-    ur, ui = ur0, ui0
-    for k in range(n_iter):
-        ur, ui = tracked_step(hr, hi, ur, ui, parity=k % 2)
+    sampler/hmc_real.hmc_sweep_real with eigh_mode="tracked").
+
+    The refinement loop is a rolled ``fori_loop`` so the compiled program
+    stays small even inside a long leapfrog scan."""
+
+    def body(_k, uv):
+        return tracked_step(hr, hi, *uv)
+
+    ur, ui = lax.fori_loop(0, n_iter, body, (ur0, ui0))
     _, _, d, res = _project_T(hr, hi, ur, ui)
     d, ur, ui = _sort_by_evals(d, ur, ui)
     return d, ur, ui, res
