@@ -30,6 +30,10 @@ def main():
     p.add_argument("--dtype", default="float64")
     p.add_argument("--fast", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--path", choices=("complex", "real"), default="complex",
+                   help="compute path; 'real' is the complex-free TPU path")
+    p.add_argument("--eigh_mode", choices=("exact", "tracked"),
+                   default="exact")
     from dwavehmc_tpu.utils.platform import add_platform_arg, force_platform
     add_platform_arg(p)
     ns = p.parse_args()
@@ -54,29 +58,48 @@ def main():
     lat = LatticeSpec(ns.L, ns.L)
     params = make_params(t=t, tp=tp, mu=mu, W=0.0, n_imp=0.0, beta=ns.beta,
                          J=ns.J, mass=1.0, dtype=dtype)
-    state = init_chain_state(
-        lat, params, jax.random.PRNGKey(ns.seed),
-        delta0=uniform_dwave_delta(lat, 0.2, dtype=dtype),
-        dtype=dtype, n_imp=0.0)
 
-    sweep = jax.jit(hmc_sweep, static_argnums=(0, 3))
+    if ns.path == "real":
+        from dwavehmc_tpu.models.observables_real import (
+            measure_observables_real as measure_fn,
+        )
+        from dwavehmc_tpu.sampler.hmc_real import (
+            hmc_sweep_real, init_chain_state_real,
+        )
+        d0 = uniform_dwave_delta(lat, 0.2, dtype=dtype)
+        state = init_chain_state_real(
+            lat, params, jax.random.PRNGKey(ns.seed),
+            delta0_re=d0.real, delta0_im=d0.imag, dtype=dtype, n_imp=0.0)
+        sweep = jax.jit(
+            lambda p, s, Nt, dt: hmc_sweep_real(lat, p, s, Nt, dt,
+                                                ns.eigh_mode),
+            static_argnums=(2,))
+    else:
+        measure_fn = measure_observables
+        state = init_chain_state(
+            lat, params, jax.random.PRNGKey(ns.seed),
+            delta0=uniform_dwave_delta(lat, 0.2, dtype=dtype),
+            dtype=dtype, n_imp=0.0)
+        sweep = jax.jit(lambda p, s, Nt, dt: hmc_sweep(lat, p, s, Nt, dt),
+                        static_argnums=(2,))
+
     print("=== Benchmark: Clean Limit (Momentum Space Check) ===")
     print(f"{ns.L}x{ns.L}, beta={ns.beta}, J={ns.J}, dtype={ns.dtype}, "
-          f"device={jax.devices()[0]}")
+          f"path={ns.path}, device={jax.devices()[0]}")
 
     t0 = time.time()
     dt_th = calc_optimal_dt(ns.beta, ns.J, 1.0, ns.Nt_therm)
     print("Thermalizing...")
     for _ in range(ns.n_therm):
-        state, _ = sweep(lat, params, state, ns.Nt_therm, dt_th)
+        state, _ = sweep(params, state, ns.Nt_therm, dt_th)
 
     print("Measuring...")
     dt_me = calc_optimal_dt(ns.beta, ns.J, 1.0, ns.Nt_measure)
     hist, acc = [], 0
     for i in range(ns.n_measure):
-        state, info = sweep(lat, params, state, ns.Nt_measure, dt_me)
+        state, info = sweep(params, state, ns.Nt_measure, dt_me)
         acc += int(info.accepted)
-        obs = measure_observables(lat, params, state)
+        obs = measure_fn(lat, params, state)
         hist.append(float(obs.delta_global))
         if (i + 1) % 20 == 0:
             print(f"  sweep {i+1}: |Δ_global|={hist[-1]:.6f} "
