@@ -101,6 +101,30 @@ def test_bcs_rhs_fixed_point_matches_real_space_mean_field():
     np.testing.assert_allclose(gap_r, gap_k, atol=1e-8)
 
 
+def test_hole_concentration_analytic_clean_limit():
+    """For Δ=0 the hole-concentration observable reduces to
+    (1/N)Σ_k tanh(βε_k/2) = 1 − 2·(filling per spin) — exact plane-wave
+    oracle for src/Observables.jl:127-145."""
+    from dwavehmc_tpu import init_chain_state
+    from dwavehmc_tpu.models.lattice import dispersion, k_grid
+
+    lat = LatticeSpec(8, 8)
+    t, tp, mu, beta = 1.0, -0.35, -1.08, 7.0
+    params = make_params(t=t, tp=tp, mu=mu, beta=beta, J=1.0,
+                         dtype=jnp.float64)
+    state = init_chain_state(
+        lat, params, jax.random.PRNGKey(0),
+        delta0=jnp.zeros((lat.n_sites, 2), dtype=jnp.complex128),
+        disorder=jnp.zeros(lat.n_sites), dtype=jnp.float64, n_imp=0.0)
+    obs = measure_observables(lat, params, state)
+
+    kx, ky = k_grid(lat)
+    KX, KY = np.meshgrid(kx, ky, indexing="ij")
+    eps = dispersion(KX, KY, t, tp, mu)
+    expected = np.mean(np.tanh(0.5 * beta * eps))
+    np.testing.assert_allclose(float(obs.hole_conc), expected, atol=1e-10)
+
+
 @pytest.mark.slow
 def test_clean_limit_hmc_matches_bcs_gap_equation():
     """Full HMC chain on a clean 8×8 lattice at β=100, J=1.6 must satisfy
