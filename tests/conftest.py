@@ -12,6 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Force, don't setdefault: the environment ships JAX_PLATFORMS=axon and a
 # sitecustomize hook that registers the TPU backend in every interpreter.
+# (Run pytest with PALLAS_AXON_POOL_IPS= to skip that registration entirely
+# — it claims a remote session even when the backend is never used.)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
