@@ -118,14 +118,17 @@ def tracked_eigh_nofallback(hr, hi, ur0, ui0, *, n_iter: int = 6):
     sampler/hmc_real.hmc_sweep_real with eigh_mode="tracked").
 
     The refinement loop is a rolled ``fori_loop`` so the compiled program
-    stays small even inside a long leapfrog scan."""
+    stays small even inside a long leapfrog scan.  Eigenvalues are NOT
+    sorted: every downstream use during a trajectory (Fermi factors,
+    forces, masked observables) is order-independent, and the per-sweep
+    exact re-anchor restores sorted order for the Metropolis energy
+    difference."""
 
     def body(_k, uv):
         return tracked_step(hr, hi, *uv)
 
     ur, ui = lax.fori_loop(0, n_iter, body, (ur0, ui0))
     _, _, d, res = _project_T(hr, hi, ur, ui)
-    d, ur, ui = _sort_by_evals(d, ur, ui)
     return d, ur, ui, res
 
 
