@@ -162,25 +162,28 @@ def main():
     modes = os.environ.get("BENCH_MODES", "exact,tracked").split(",") \
         if path == "real" else ["exact"]
 
+    from dwavehmc_tpu.parallel.ensemble import run_segment_tracked
+
+    def one_segment(mode, states):
+        if path != "real":
+            return seg_fn(lat, params, states, sweeps, Nt, dt, True, None)
+        if mode == "tracked":
+            # split runner: the target compiler faults when the exact
+            # embedding eigh shares a program with the tracked matmul loop
+            return run_segment_tracked(lat, params, states, sweeps, Nt, dt,
+                                       True, None, None, 6)
+        return seg_fn(lat, params, states, sweeps, Nt, dt, True, None,
+                      None, mode)
+
     def run_mode(mode, states):
         t0 = time.perf_counter()
-        if path == "real":
-            states, seg = seg_fn(lat, params, states, sweeps, Nt, dt,
-                                 True, None, None, mode)
-        else:
-            states, seg = seg_fn(lat, params, states, sweeps, Nt, dt,
-                                 True, None)
+        states, seg = one_segment(mode, states)
         acc_arr = sync(seg)
         log(f"[{mode}] segment compile+run: {time.perf_counter()-t0:.1f}s")
         times = []
         for r in range(reps):
             t0 = time.perf_counter()
-            if path == "real":
-                states, seg = seg_fn(lat, params, states, sweeps, Nt, dt,
-                                     True, None, None, mode)
-            else:
-                states, seg = seg_fn(lat, params, states, sweeps, Nt, dt,
-                                     True, None)
+            states, seg = one_segment(mode, states)
             acc_arr = sync(seg)
             times.append(time.perf_counter() - t0)
             log(f"[{mode}] rep {r}: {times[-1]:.3f}s")

@@ -171,6 +171,64 @@ def run_segment_real_jit(lat, params, states, n_sweeps, Nt, dt,
                             tracked_iters=tracked_iters)
 
 
+# split tracked segment: two programs per sweep, host-sequenced -------------
+#
+# The target TPU compiler faults when the exact embedding eigh and the
+# tracked matmul refinement share one compiled program, so the tracked
+# production path dispatches phase 1 (tracked leapfrog) and phase 2 (exact
+# anchor + Metropolis + observables) as separate jits per sweep.  Dispatch
+# overhead is ~10 ms/call — noise against a multi-hundred-ms sweep.
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 5, 6, 7))
+def _tracked_leapfrog_jit(lat, params, states, Nt, dt, tracked_iters,
+                          params_axis=None, dt_axis=None):
+    from ..sampler.hmc_real import tracked_leapfrog
+
+    fn = lambda p, s, d: tracked_leapfrog(lat, p, s, Nt, d, tracked_iters)  # noqa: E731
+    return jax.vmap(fn, in_axes=(params_axis, 0, dt_axis))(
+        params, states, jnp.asarray(dt))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _tracked_accept_jit(lat, params, states, proposal, measure=True,
+                        params_axis=None):
+    from ..models.observables_real import measure_observables_real
+    from ..sampler.hmc_real import tracked_accept
+
+    fn = lambda p, s, prop: tracked_accept(lat, p, s, prop)  # noqa: E731
+    states, info = jax.vmap(fn, in_axes=(params_axis, 0, 0))(
+        params, states, proposal)
+    obs = None
+    if measure:
+        obs = jax.vmap(functools.partial(measure_observables_real, lat),
+                       in_axes=(params_axis, 0))(params, states)
+    return states, info, obs
+
+
+def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
+                        measure=True, params_axis=None, dt_axis=None,
+                        tracked_iters=6):
+    """Host-sequenced tracked segment; same interface/results shape as
+    run_segment_real(eigh_mode="tracked") but crash-safe on the target
+    compiler."""
+    accs, dHs, obss = [], [], []
+    for _ in range(n_sweeps):
+        proposal = _tracked_leapfrog_jit(lat, params, states, Nt, dt,
+                                         tracked_iters, params_axis, dt_axis)
+        states, info, obs = _tracked_accept_jit(lat, params, states,
+                                                proposal, measure,
+                                                params_axis)
+        accs.append(info.accepted)
+        dHs.append(info.dH)
+        if measure:
+            obss.append(obs)
+    acc = jnp.stack(accs)
+    dH = jnp.stack(dHs)
+    obs = (jax.tree.map(lambda *xs: jnp.stack(xs), *obss)
+           if measure else None)
+    return states, SegmentResult(accepted=acc, dH=dH, observables=obs)
+
+
 # jit wrappers with static structure args ------------------------------------
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8))

@@ -86,6 +86,103 @@ def _energy_terms(delta_re, delta_im, pi_re, pi_im, evals, beta, J, mass):
     return kin + bos + fer
 
 
+def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
+                     state: HMCStateReal, Nt: int, dt,
+                     tracked_iters: int = 6):
+    """Phase 1 of the split tracked sweep: momentum refresh + fully tracked
+    leapfrog (no exact eigh anywhere — the target TPU compiler faults when
+    the embedding eigh and the tracked matmul loop share one program).
+
+    Returns (proposal fields/momenta, pi0, key', max tracked residual).
+    """
+    from ..models.bdg import static_hamiltonian
+
+    beta, J, mass = params.beta, params.J, params.mass
+    rdt = state.evals.dtype
+
+    key, k_mom, k_acc = jax.random.split(state.key, 3)
+    n = jax.random.normal(k_mom, (2,) + state.delta_re.shape, dtype=rdt)
+    scale = jnp.sqrt(mass).astype(rdt)
+    pi_re0, pi_im0 = n[0] * scale, n[1] * scale
+
+    Hs_real = static_hamiltonian(lat, params.t, params.tp, params.mu,
+                                 state.disorder)
+    dt = jnp.asarray(dt, rdt)
+    coef = dt / (2.0 * mass)
+
+    from ..ops.tracked_eigh import tracked_eigh_nofallback
+
+    F_re0, F_im0, _, _ = hmc_forces_real(
+        lat, state.delta_re, state.delta_im, state.evals, state.X, state.Y,
+        beta, J)
+    pi_re = pi_re0 + 0.5 * dt * F_re0
+    pi_im = pi_im0 + 0.5 * dt * F_im0
+
+    def step(carry, _):
+        dre, dim_, pre, pim, e, X, Y, _Fr, _Fi = carry
+        dre = dre + coef * pre
+        dim_ = dim_ + coef * pim
+        hr, hi = assemble_parts(lat, Hs_real, dre, dim_)
+        e, X, Y, res = tracked_eigh_nofallback(hr, hi, X, Y,
+                                               n_iter=tracked_iters)
+        Fr, Fi, _, _ = hmc_forces_real(lat, dre, dim_, e, X, Y, beta, J)
+        pre = pre + dt * Fr
+        pim = pim + dt * Fi
+        return (dre, dim_, pre, pim, e, X, Y, Fr, Fi), res
+
+    carry0 = (state.delta_re, state.delta_im, pi_re, pi_im,
+              state.evals, state.X, state.Y, F_re0, F_im0)
+    (dre, dim_, pre, pim, _e, _X, _Y, Fr_l, Fi_l), res = lax.scan(
+        step, carry0, None, length=Nt)
+    pre = pre - 0.5 * dt * Fr_l
+    pim = pim - 0.5 * dt * Fi_l
+    return (dre, dim_, pre, pim, pi_re0, pi_im0, key,
+            k_acc, jnp.max(res))
+
+
+def tracked_accept(lat: LatticeSpec, params: ModelParams,
+                   state: HMCStateReal, proposal
+                   ) -> tuple[HMCStateReal, SweepInfo]:
+    """Phase 2: exact embedding eigh of the proposal, difference-based ΔH,
+    Metropolis select.  Runs as its own program (see tracked_leapfrog)."""
+    beta, J, mass = params.beta, params.J, params.mass
+    dre, dim_, pre, pim, pi_re0, pi_im0, key, k_acc, res = proposal
+
+    H_old = _energy_terms(state.delta_re, state.delta_im, pi_re0, pi_im0,
+                          state.evals, beta, J, mass)
+
+    M_static = static_embedding(lat, params.t, params.tp, params.mu,
+                                state.disorder)
+    M = assemble_embedding(lat, M_static, dre, dim_)
+    evals_n, X_n, Y_n = diagonalize_embedding(M)
+
+    d_kin = jnp.sum(pre**2 + pim**2 - pi_re0**2 - pi_im0**2) / (2.0 * mass)
+    d_bos = (beta / (2.0 * J)) * jnp.sum(
+        dre**2 + dim_**2 - state.delta_re**2 - state.delta_im**2)
+    half = evals_n.shape[-1] // 2
+    En = jnp.abs(evals_n[half:])
+    Eo = jnp.abs(state.evals[half:])
+    d_fer = -(beta * jnp.sum(En - Eo)
+              + 2.0 * jnp.sum(jax.nn.softplus(-beta * En)
+                              - jax.nn.softplus(-beta * Eo)))
+    dH = d_kin + d_bos + d_fer
+    H_new = H_old + dH
+
+    u = jax.random.uniform(k_acc, (), dtype=jnp.float32)
+    accept = (dH < 0) | (u < jnp.exp(-dH.astype(jnp.float32)))
+
+    def sel(new, old):
+        return jnp.where(accept, new, old)
+
+    new_state = HMCStateReal(
+        delta_re=sel(dre, state.delta_re), delta_im=sel(dim_, state.delta_im),
+        pi_re=pre, pi_im=pim, disorder=state.disorder,
+        evals=sel(evals_n, state.evals), X=sel(X_n, state.X),
+        Y=sel(Y_n, state.Y), key=key)
+    return new_state, SweepInfo(accepted=accept, dH=dH, H_old=H_old,
+                                H_new=H_new)
+
+
 def hmc_sweep_real(lat: LatticeSpec, params: ModelParams,
                    state: HMCStateReal, Nt: int, dt,
                    eigh_mode: str = "exact", tracked_iters: int = 6

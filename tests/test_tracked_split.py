@@ -1,0 +1,51 @@
+"""Split tracked segment (two programs per sweep) must reproduce the
+single-program tracked segment exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dwavehmc_tpu import LatticeSpec, calc_optimal_dt, make_params
+from dwavehmc_tpu.parallel.ensemble import (
+    init_ensemble_real,
+    run_segment_real_jit,
+    run_segment_tracked,
+)
+
+LAT = LatticeSpec(4, 4)
+
+
+def test_split_equals_fused_tracked_segment():
+    params = make_params(W=0.5, n_imp=0.25, beta=10.0, J=1.0,
+                         dtype=jnp.float64)
+    states0 = init_ensemble_real(LAT, params, jax.random.PRNGKey(2), 3,
+                                 dtype=jnp.float64, n_imp=0.25)
+    Nt = 4
+    dt = calc_optimal_dt(10.0, 1.0, 1.0, Nt)
+
+    s1, seg1 = run_segment_real_jit(LAT, params, states0, 4, Nt, dt,
+                                    True, None, None, "tracked", 6)
+    s2, seg2 = run_segment_tracked(LAT, params, states0, 4, Nt, dt,
+                                   True, None, None, 6)
+
+    np.testing.assert_array_equal(np.asarray(seg1.accepted),
+                                  np.asarray(seg2.accepted))
+    np.testing.assert_allclose(np.asarray(seg1.dH), np.asarray(seg2.dH),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s1.delta_re),
+                               np.asarray(s2.delta_re), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(seg1.observables.total_energy),
+        np.asarray(seg2.observables.total_energy), rtol=1e-10)
+
+
+def test_split_per_chain_dt():
+    params = make_params(W=0.0, n_imp=0.0, beta=5.0, J=1.0,
+                         dtype=jnp.float64)
+    states = init_ensemble_real(LAT, params, jax.random.PRNGKey(1), 2,
+                                dtype=jnp.float64, n_imp=0.0)
+    dts = jnp.asarray([0.03, 0.05])
+    states, seg = run_segment_tracked(LAT, params, states, 2, 3, dts,
+                                      True, None, 0, 6)
+    assert seg.accepted.shape == (2, 2)
+    assert np.all(np.isfinite(np.asarray(seg.dH)))
