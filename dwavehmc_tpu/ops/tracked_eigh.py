@@ -28,10 +28,33 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-#: damped rotation cap for non-adjacent pairs (stability of the
-#: simultaneous first-order update; adjacent pairs rotate by the exact
-#: Jacobi angle in alternating odd-even rounds)
+#: per-entry rotation cap (exact 2×2 Jacobi angle is ≤ π/4; damping keeps
+#: the simultaneous all-pairs update contractive)
 S_MAX = 0.2
+#: spectral-norm cap on S.  S is anti-Hermitian, so σ(I+S) = √(1+σ(S)²);
+#: Newton–Schulz converges for σ(I+S) < √3 ⟺ σ(S) < √2.  Capping σ(S) at
+#: 1.0 keeps a stability margin — without it, dense spectra (mean gap ≪
+#: coupling) push σ(S) past the basin, float32 blows up to NaN, and the
+#: NaNs hard-crash the TPU QDWH eigh downstream.
+S_SIGMA_CAP = 1.0
+
+
+def _spectral_norm_est(sr, si, iters=3):
+    """Power-iteration estimate of σ_max(S) (S normal ⇒ |λ| = σ)."""
+    n = sr.shape[0]
+    vr = jnp.full((n,), 1.0, dtype=sr.dtype) / jnp.sqrt(
+        jnp.asarray(n, sr.dtype))
+    vi = jnp.zeros((n,), dtype=sr.dtype)
+
+    def mv(vr, vi):
+        return sr @ vr - si @ vi, sr @ vi + si @ vr
+
+    for _ in range(iters):
+        wr, wi = mv(vr, vi)
+        nrm = jnp.sqrt(jnp.sum(wr * wr + wi * wi)) + 1e-30
+        vr, vi = wr / nrm, wi / nrm
+    wr, wi = mv(vr, vi)
+    return jnp.sqrt(jnp.sum(wr * wr + wi * wi))
 
 
 def cmm(ar, ai, br, bi):
@@ -88,6 +111,12 @@ def tracked_step(hr, hi, ur, ui, parity=0):
     mask = 1.0 - jnp.eye(n, dtype=tr.dtype)
     sr = phase_r * theta * sgn * mask
     si = phase_i * theta * sgn * mask
+
+    # stability cap: σ(S) ≤ S_SIGMA_CAP keeps Newton–Schulz in its basin
+    sigma = _spectral_norm_est(sr, si)
+    alpha = jnp.minimum(1.0, S_SIGMA_CAP / jnp.maximum(sigma, 1e-30))
+    sr = sr * alpha
+    si = si * alpha
 
     vr, vi = cmm(ur, ui, sr, si)          # U S
     ur, ui = _newton_schulz(ur + vr, ui + vi)

@@ -86,6 +86,13 @@ def _energy_terms(delta_re, delta_im, pi_re, pi_im, evals, beta, J, mass):
     return kin + bos + fer
 
 
+def _finite_or_zero(x):
+    """NaN/Inf guard ahead of eigh: the TPU QDWH eigh hard-crashes the
+    worker on non-finite input, so any diverged trajectory is zeroed here
+    (and rejected by the accept step's finiteness check)."""
+    return jnp.where(jnp.isfinite(x), x, jnp.zeros_like(x))
+
+
 def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
                      state: HMCStateReal, Nt: int, dt,
                      tracked_iters: int = 6):
@@ -120,8 +127,8 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
 
     def step(carry, _):
         dre, dim_, pre, pim, e, X, Y, _Fr, _Fi = carry
-        dre = dre + coef * pre
-        dim_ = dim_ + coef * pim
+        dre = _finite_or_zero(dre + coef * pre)
+        dim_ = _finite_or_zero(dim_ + coef * pim)
         hr, hi = assemble_parts(lat, Hs_real, dre, dim_)
         e, X, Y, res = tracked_eigh_nofallback(hr, hi, X, Y,
                                                n_iter=tracked_iters)
@@ -151,9 +158,14 @@ def tracked_accept(lat: LatticeSpec, params: ModelParams,
     H_old = _energy_terms(state.delta_re, state.delta_im, pi_re0, pi_im0,
                           state.evals, beta, J, mass)
 
+    finite = (jnp.all(jnp.isfinite(dre)) & jnp.all(jnp.isfinite(dim_))
+              & jnp.all(jnp.isfinite(pre)) & jnp.all(jnp.isfinite(pim)))
+    dre_s = _finite_or_zero(dre)
+    dim_s = _finite_or_zero(dim_)
+
     M_static = static_embedding(lat, params.t, params.tp, params.mu,
                                 state.disorder)
-    M = assemble_embedding(lat, M_static, dre, dim_)
+    M = assemble_embedding(lat, M_static, dre_s, dim_s)
     evals_n, X_n, Y_n = diagonalize_embedding(M)
 
     d_kin = jnp.sum(pre**2 + pim**2 - pi_re0**2 - pi_im0**2) / (2.0 * mass)
@@ -169,14 +181,16 @@ def tracked_accept(lat: LatticeSpec, params: ModelParams,
     H_new = H_old + dH
 
     u = jax.random.uniform(k_acc, (), dtype=jnp.float32)
-    accept = (dH < 0) | (u < jnp.exp(-dH.astype(jnp.float32)))
+    accept = finite & ((dH < 0) | (u < jnp.exp(-dH.astype(jnp.float32))))
 
     def sel(new, old):
         return jnp.where(accept, new, old)
 
     new_state = HMCStateReal(
-        delta_re=sel(dre, state.delta_re), delta_im=sel(dim_, state.delta_im),
-        pi_re=pre, pi_im=pim, disorder=state.disorder,
+        delta_re=sel(dre_s, state.delta_re),
+        delta_im=sel(dim_s, state.delta_im),
+        pi_re=_finite_or_zero(pre), pi_im=_finite_or_zero(pim),
+        disorder=state.disorder,
         evals=sel(evals_n, state.evals), X=sel(X_n, state.X),
         Y=sel(Y_n, state.Y), key=key)
     return new_state, SweepInfo(accepted=accept, dH=dH, H_old=H_old,
@@ -231,8 +245,8 @@ def hmc_sweep_real(lat: LatticeSpec, params: ModelParams,
 
     def step(carry, _):
         dre, dim_, pre, pim, _e, X, Y, _Fr, _Fi, _res = carry
-        dre = dre + coef * pre
-        dim_ = dim_ + coef * pim
+        dre = _finite_or_zero(dre + coef * pre)
+        dim_ = _finite_or_zero(dim_ + coef * pim)
         if eigh_mode == "tracked":
             hr, hi = assemble_parts(lat, Hs_real, dre, dim_)
             evals, X, Y, res = tracked_eigh_nofallback(
