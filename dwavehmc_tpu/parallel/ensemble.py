@@ -179,23 +179,25 @@ def run_segment_real_jit(lat, params, states, n_sweeps, Nt, dt,
 # anchor + Metropolis + observables) as separate jits per sweep.  Dispatch
 # overhead is ~10 ms/call — noise against a multi-hundred-ms sweep.
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8))
 def _tracked_leapfrog_jit(lat, params, states, Nt, dt, tracked_iters,
-                          params_axis=None, dt_axis=None):
+                          params_axis=None, dt_axis=None, refine_iters=0):
     from ..sampler.hmc_real import tracked_leapfrog
 
-    fn = lambda p, s, d: tracked_leapfrog(lat, p, s, Nt, d, tracked_iters)  # noqa: E731
+    fn = lambda p, s, d: tracked_leapfrog(lat, p, s, Nt, d, tracked_iters,  # noqa: E731
+                                          refine_iters)
     return jax.vmap(fn, in_axes=(params_axis, 0, dt_axis))(
         params, states, jnp.asarray(dt))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _tracked_accept_jit(lat, params, states, proposal, measure=True,
-                        params_axis=None):
+                        params_axis=None, cheap=False):
     from ..models.observables_real import measure_observables_real
-    from ..sampler.hmc_real import tracked_accept
+    from ..sampler.hmc_real import tracked_accept, tracked_accept_cheap
 
-    fn = lambda p, s, prop: tracked_accept(lat, p, s, prop)  # noqa: E731
+    accept_fn = tracked_accept_cheap if cheap else tracked_accept
+    fn = lambda p, s, prop: accept_fn(lat, p, s, prop)  # noqa: E731
     states, info = jax.vmap(fn, in_axes=(params_axis, 0, 0))(
         params, states, proposal)
     obs = None
@@ -207,17 +209,28 @@ def _tracked_accept_jit(lat, params, states, proposal, measure=True,
 
 def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                         measure=True, params_axis=None, dt_axis=None,
-                        tracked_iters=6):
+                        tracked_iters=6, anchor_every=1, refine_iters=12):
     """Host-sequenced tracked segment; same interface/results shape as
     run_segment_real(eigh_mode="tracked") but crash-safe on the target
-    compiler."""
+    compiler.
+
+    ``anchor_every``: run the exact embedding eigh anchor on every K-th
+    sweep only; the sweeps in between use the refined tracked endpoint
+    spectrum for Metropolis (``refine_iters`` extra rotations).  K=1 is
+    the unbiased default; K>1 trades a controlled, residual-sized energy
+    bias for skipping most exact eighs.
+    """
     accs, dHs, obss = [], [], []
-    for _ in range(n_sweeps):
+    for i in range(n_sweeps):
+        exact_anchor = (anchor_every <= 1) or ((i + 1) % anchor_every == 0)
+        r_iters = 0 if exact_anchor else refine_iters
         proposal = _tracked_leapfrog_jit(lat, params, states, Nt, dt,
-                                         tracked_iters, params_axis, dt_axis)
+                                         tracked_iters, params_axis,
+                                         dt_axis, r_iters)
         states, info, obs = _tracked_accept_jit(lat, params, states,
                                                 proposal, measure,
-                                                params_axis)
+                                                params_axis,
+                                                not exact_anchor)
         accs.append(info.accepted)
         dHs.append(info.dH)
         if measure:

@@ -95,12 +95,17 @@ def _finite_or_zero(x):
 
 def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
                      state: HMCStateReal, Nt: int, dt,
-                     tracked_iters: int = 6):
+                     tracked_iters: int = 6, refine_iters: int = 0):
     """Phase 1 of the split tracked sweep: momentum refresh + fully tracked
     leapfrog (no exact eigh anywhere — the target TPU compiler faults when
     the embedding eigh and the tracked matmul loop share one program).
 
-    Returns (proposal fields/momenta, pi0, key', max tracked residual).
+    ``refine_iters`` > 0 adds extra refinement at the trajectory endpoint
+    so the tracked spectrum there is tight enough to serve as a cheap
+    Metropolis anchor (see tracked_accept_cheap).
+
+    Returns (proposal fields/momenta, pi0, key', k_acc, max residual,
+    endpoint evals/X/Y, endpoint residual).
     """
     from ..models.bdg import static_hamiltonian
 
@@ -139,12 +144,72 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
 
     carry0 = (state.delta_re, state.delta_im, pi_re, pi_im,
               state.evals, state.X, state.Y, F_re0, F_im0)
-    (dre, dim_, pre, pim, _e, _X, _Y, Fr_l, Fi_l), res = lax.scan(
+    (dre, dim_, pre, pim, e_f, X_f, Y_f, Fr_l, Fi_l), res = lax.scan(
         step, carry0, None, length=Nt)
     pre = pre - 0.5 * dt * Fr_l
     pim = pim - 0.5 * dt * Fi_l
+
+    res_end = res[-1]
+    if refine_iters > 0:
+        hr, hi = assemble_parts(lat, Hs_real,
+                                _finite_or_zero(dre), _finite_or_zero(dim_))
+        e_f, X_f, Y_f, res_end = tracked_eigh_nofallback(
+            hr, hi, X_f, Y_f, n_iter=refine_iters)
+
     return (dre, dim_, pre, pim, pi_re0, pi_im0, key,
-            k_acc, jnp.max(res))
+            k_acc, jnp.max(res), e_f, X_f, Y_f, res_end)
+
+
+def tracked_accept_cheap(lat: LatticeSpec, params: ModelParams,
+                         state: HMCStateReal, proposal
+                         ) -> tuple[HMCStateReal, SweepInfo]:
+    """Cheap anchor: Metropolis from the *refined tracked* endpoint spectrum
+    (no exact eigh at all).  Bias is controlled by the endpoint residual —
+    use refine_iters ≥ ~12 in tracked_leapfrog and interleave exact anchors
+    every few sweeps (run_segment_tracked(anchor_every=K))."""
+    beta, J, mass = params.beta, params.J, params.mass
+    (dre, dim_, pre, pim, pi_re0, pi_im0, key, k_acc, _res,
+     e_f, X_f, Y_f, _res_end) = proposal
+
+    H_old = _energy_terms(state.delta_re, state.delta_im, pi_re0, pi_im0,
+                          state.evals, beta, J, mass)
+
+    finite = (jnp.all(jnp.isfinite(dre)) & jnp.all(jnp.isfinite(dim_))
+              & jnp.all(jnp.isfinite(pre)) & jnp.all(jnp.isfinite(pim))
+              & jnp.all(jnp.isfinite(e_f)))
+    dre_s = _finite_or_zero(dre)
+    dim_s = _finite_or_zero(dim_)
+
+    d_kin = jnp.sum(pre**2 + pim**2 - pi_re0**2 - pi_im0**2) / (2.0 * mass)
+    d_bos = (beta / (2.0 * J)) * jnp.sum(
+        dre**2 + dim_**2 - state.delta_re**2 - state.delta_im**2)
+    # tracked evals are unsorted: use |E| of ALL levels / 2 via the even
+    # function g(E) = |βE| + 2·softplus(−|βE|), summing every level once
+    # and halving (PH symmetry makes each pair contribute twice)
+    En = jnp.abs(_finite_or_zero(e_f))
+    Eo = jnp.abs(state.evals)
+    d_fer = -0.5 * (beta * (jnp.sum(En) - jnp.sum(Eo))
+                    + 2.0 * (jnp.sum(jax.nn.softplus(-beta * En))
+                             - jnp.sum(jax.nn.softplus(-beta * Eo))))
+    dH = d_kin + d_bos + d_fer
+    H_new = H_old + dH
+
+    u = jax.random.uniform(k_acc, (), dtype=jnp.float32)
+    accept = finite & ((dH < 0) | (u < jnp.exp(-dH.astype(jnp.float32))))
+
+    def sel(new, old):
+        return jnp.where(accept, new, old)
+
+    new_state = HMCStateReal(
+        delta_re=sel(dre_s, state.delta_re),
+        delta_im=sel(dim_s, state.delta_im),
+        pi_re=_finite_or_zero(pre), pi_im=_finite_or_zero(pim),
+        disorder=state.disorder,
+        evals=sel(_finite_or_zero(e_f), state.evals),
+        X=sel(_finite_or_zero(X_f), state.X),
+        Y=sel(_finite_or_zero(Y_f), state.Y), key=key)
+    return new_state, SweepInfo(accepted=accept, dH=dH, H_old=H_old,
+                                H_new=H_new)
 
 
 def tracked_accept(lat: LatticeSpec, params: ModelParams,
@@ -153,7 +218,7 @@ def tracked_accept(lat: LatticeSpec, params: ModelParams,
     """Phase 2: exact embedding eigh of the proposal, difference-based ΔH,
     Metropolis select.  Runs as its own program (see tracked_leapfrog)."""
     beta, J, mass = params.beta, params.J, params.mass
-    dre, dim_, pre, pim, pi_re0, pi_im0, key, k_acc, res = proposal
+    dre, dim_, pre, pim, pi_re0, pi_im0, key, k_acc, res = proposal[:9]
 
     H_old = _energy_terms(state.delta_re, state.delta_im, pi_re0, pi_im0,
                           state.evals, beta, J, mass)
@@ -171,12 +236,14 @@ def tracked_accept(lat: LatticeSpec, params: ModelParams,
     d_kin = jnp.sum(pre**2 + pim**2 - pi_re0**2 - pi_im0**2) / (2.0 * mass)
     d_bos = (beta / (2.0 * J)) * jnp.sum(
         dre**2 + dim_**2 - state.delta_re**2 - state.delta_im**2)
-    half = evals_n.shape[-1] // 2
-    En = jnp.abs(evals_n[half:])
-    Eo = jnp.abs(state.evals[half:])
-    d_fer = -(beta * jnp.sum(En - Eo)
-              + 2.0 * jnp.sum(jax.nn.softplus(-beta * En)
-                              - jax.nn.softplus(-beta * Eo)))
+    # all-levels/2 form of the positive-branch sum: valid for ANY eigenvalue
+    # order (state.evals may be an unsorted tracked spectrum when cheap
+    # anchors are interleaved), exactly equal under PH symmetry
+    En = jnp.abs(evals_n)
+    Eo = jnp.abs(state.evals)
+    d_fer = -0.5 * (beta * (jnp.sum(En) - jnp.sum(Eo))
+                    + 2.0 * (jnp.sum(jax.nn.softplus(-beta * En))
+                             - jnp.sum(jax.nn.softplus(-beta * Eo))))
     dH = d_kin + d_bos + d_fer
     H_new = H_old + dH
 

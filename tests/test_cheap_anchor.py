@@ -1,0 +1,63 @@
+"""Cheap-anchor (anchor_every>1) sampling validation: equilibrium
+observables must match the fully exact-anchored tracked mode within
+statistical error, and dH between the modes must agree closely when the
+endpoint refinement is tight."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dwavehmc_tpu import LatticeSpec, calc_optimal_dt, make_params
+from dwavehmc_tpu.parallel.ensemble import (
+    init_ensemble_real,
+    run_segment_tracked,
+)
+
+LAT = LatticeSpec(6, 6)
+
+
+def test_cheap_anchor_dH_close_to_exact_anchor():
+    """Same keys: per-sweep dH with cheap anchors ≈ exact-anchor dH."""
+    params = make_params(W=0.5, n_imp=0.25, beta=20.0, J=1.0,
+                         dtype=jnp.float64)
+    states0 = init_ensemble_real(LAT, params, jax.random.PRNGKey(0), 2,
+                                 dtype=jnp.float64, n_imp=0.25)
+    Nt = 6
+    dt = calc_optimal_dt(20.0, 1.0, 1.0, Nt)
+    _, seg_exact = run_segment_tracked(LAT, params, states0, 6, Nt, dt,
+                                       False, None, None, 8, 1)
+    _, seg_cheap = run_segment_tracked(LAT, params, states0, 6, Nt, dt,
+                                       False, None, None, 8, 1000, 16)
+    dh_e = np.asarray(seg_exact.dH)
+    dh_c = np.asarray(seg_cheap.dH)
+    # trajectories identical (same keys, same forces); only the endpoint
+    # spectra differ → dH difference is the anchor error
+    np.testing.assert_allclose(dh_c, dh_e, atol=0.05, rtol=0.05)
+
+
+def test_cheap_anchor_equilibrium_matches():
+    """Longer run: pairing amplitude with anchor_every=4 within statistical
+    error of anchor_every=1."""
+    params = make_params(W=0.0, n_imp=0.0, beta=50.0, J=1.6,
+                         dtype=jnp.float64)
+    Nt = 8
+    dt = calc_optimal_dt(50.0, 1.6, 1.0, Nt)
+
+    def run(anchor_every, seed):
+        states = init_ensemble_real(LAT, params, jax.random.PRNGKey(seed), 2,
+                                    dtype=jnp.float64, n_imp=0.0)
+        states, _ = run_segment_tracked(LAT, params, states, 15, Nt, dt,
+                                        False, None, None, 8, anchor_every,
+                                        16)
+        states, seg = run_segment_tracked(LAT, params, states, 25, Nt, dt,
+                                          True, None, None, 8, anchor_every,
+                                          16)
+        amps = np.asarray(seg.observables.delta_pair)
+        return amps.mean(), amps.std() / np.sqrt(amps.size / 4), \
+            np.asarray(seg.accepted).mean()
+
+    m1, s1, a1 = run(1, 11)
+    m4, s4, a4 = run(4, 12)
+    tol = 4 * max(s1, s4) + 0.02
+    assert abs(m1 - m4) < tol, (m1, m4, tol)
+    assert abs(a1 - a4) < 0.3, (a1, a4)
