@@ -159,7 +159,8 @@ def main():
     dt = calc_optimal_dt(beta, J, mass, Nt)
 
     results = {}
-    modes = os.environ.get("BENCH_MODES", "exact,tracked").split(",") \
+    modes = os.environ.get(
+        "BENCH_MODES", "exact,tracked,tracked_fast").split(",") \
         if path == "real" else ["exact"]
 
     from dwavehmc_tpu.parallel.ensemble import run_segment_tracked
@@ -172,6 +173,10 @@ def main():
             # embedding eigh shares a program with the tracked matmul loop
             return run_segment_tracked(lat, params, states, sweeps, Nt, dt,
                                        True, None, None, 6)
+        if mode == "tracked_fast":
+            # cheap anchors: exact eigh every 5th sweep only
+            return run_segment_tracked(lat, params, states, sweeps, Nt, dt,
+                                       True, None, None, 6, 5, 12)
         return seg_fn(lat, params, states, sweeps, Nt, dt, True, None,
                       None, mode)
 

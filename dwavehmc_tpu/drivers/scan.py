@@ -131,9 +131,18 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
 
     path = cfg.resolved_path()
     if path == "real":
-        def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da):
-            return run_segment_real_jit(lt, p, s, n, Nt, dt, measure, pa,
-                                        da, cfg.eigh_mode)
+        if cfg.eigh_mode == "tracked":
+            from ..parallel.ensemble import run_segment_tracked
+
+            def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da):
+                return run_segment_tracked(lt, p, s, n, Nt, dt, measure,
+                                           pa, da, cfg.tracked_iters,
+                                           cfg.anchor_every,
+                                           cfg.refine_iters)
+        else:
+            def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da):
+                return run_segment_real_jit(lt, p, s, n, Nt, dt, measure,
+                                            pa, da, cfg.eigh_mode)
         init_fn = init_ensemble_real
         transport_fn = ensemble_transport_real_jit
     else:

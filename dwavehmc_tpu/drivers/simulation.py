@@ -76,9 +76,20 @@ def run_simulation(cfg: RunConfig) -> dict:
     path = cfg.resolved_path()
 
     if path == "real":
-        def seg_fn(lt, p, s, n, Nt, dt, measure, pa):
-            return run_segment_real_jit(lt, p, s, n, Nt, dt, measure, pa,
-                                        None, cfg.eigh_mode)
+        if cfg.eigh_mode == "tracked":
+            # split runner: crash-safe on compilers that fault when the
+            # exact embedding eigh shares a program with the tracked loop
+            from ..parallel.ensemble import run_segment_tracked
+
+            def seg_fn(lt, p, s, n, Nt, dt, measure, pa):
+                return run_segment_tracked(lt, p, s, n, Nt, dt, measure,
+                                           pa, None, cfg.tracked_iters,
+                                           cfg.anchor_every,
+                                           cfg.refine_iters)
+        else:
+            def seg_fn(lt, p, s, n, Nt, dt, measure, pa):
+                return run_segment_real_jit(lt, p, s, n, Nt, dt, measure,
+                                            pa, None, cfg.eigh_mode)
         init_fn = init_ensemble_real
         transport_fn = ensemble_transport_real_jit
     else:

@@ -49,6 +49,9 @@ class RunConfig:
     dtype: str = "float32"          # "float32" | "float64"
     path: str = "auto"              # "auto" | "real" | "complex" compute path
     eigh_mode: str = "exact"        # "exact" | "tracked" (real path only)
+    tracked_iters: int = 6          # refinement rotations per leapfrog step
+    anchor_every: int = 1           # exact-eigh anchor every K sweeps
+    refine_iters: int = 12          # endpoint refinement for cheap anchors
     # io
     out_dir: str = "runs/run"
     verbose: bool = True
