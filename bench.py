@@ -146,12 +146,19 @@ def main():
         return np.asarray(seg.accepted)
 
     # --- thermalize (not timed): cold random starts have huge dH ---------
+    # tracked split runner: works at every batch size (the exact-mode
+    # eigh-inside-scan kernel-faults the worker at batch ≳ 32)
+    from dwavehmc_tpu.parallel.ensemble import run_segment_tracked as _rst
     n_therm = int(os.environ.get("BENCH_THERM", 10))
     Nt_th = int(os.environ.get("BENCH_NT_THERM", 20))
     dt_th = calc_optimal_dt(beta, J, mass, Nt_th)
     t0 = time.perf_counter()
-    states, seg = seg_fn(lat, params, states, n_therm, Nt_th, dt_th,
-                         False, None)
+    if path == "real":
+        states, seg = _rst(lat, params, states, n_therm, Nt_th, dt_th,
+                           False, None, None, 6)
+    else:
+        states, seg = seg_fn(lat, params, states, n_therm, Nt_th, dt_th,
+                             False, None)
     acc_th = float(np.mean(sync(seg)))
     log(f"therm ({n_therm} sweeps, Nt={Nt_th}): "
         f"{time.perf_counter()-t0:.1f}s acc={acc_th:.2f}")
