@@ -215,8 +215,8 @@ def measure_transport_and_spectra(lat: LatticeSpec, spec: SpectralSpec,
     Pallas VPU kernel; default (None) auto-enables on TPU.
     """
     if use_pallas is None:
-        from ..ops.pallas_kernels import on_tpu
-        use_pallas = on_tpu()
+        from ..ops.pallas_kernels import pallas_default
+        use_pallas = pallas_default()
     N = lat.n_sites
     beta, t, tp = params.beta, params.t, params.tp
     evals, evecs = state.evals, state.evecs

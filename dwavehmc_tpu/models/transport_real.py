@@ -131,8 +131,8 @@ def measure_transport_and_spectra_real(lat: LatticeSpec, spec: SpectralSpec,
                                        ) -> SpectrumResult:
     """Full heavy measurement from an HMCStateReal."""
     if use_pallas is None:
-        from ..ops.pallas_kernels import on_tpu
-        use_pallas = on_tpu()
+        from ..ops.pallas_kernels import pallas_default
+        use_pallas = pallas_default()
     N = lat.n_sites
     beta, t, tp = params.beta, params.t, params.tp
     evals, X, Y = state.evals, state.X, state.Y

@@ -94,3 +94,14 @@ def on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # noqa: BLE001
         return False
+
+
+def pallas_default() -> bool:
+    """Default for use_pallas flags: opt-in via DWAVEHMC_USE_PALLAS=1.
+
+    The kernel is parity-tested in interpret mode; on the current remote
+    TPU runtime it stays opt-in until hardware-validated (sub-(8,128)
+    block shapes may not lower)."""
+    import os
+
+    return os.environ.get("DWAVEHMC_USE_PALLAS", "0") == "1" and on_tpu()
