@@ -41,7 +41,14 @@ from dwavehmc_tpu.parallel.ensemble import (
     run_segment_real_jit,
 )
 
-REFERENCE_CPU_TRAJ_PER_SEC = 7.0
+def reference_cpu_traj_per_sec(L: int, Nt: int) -> float:
+    """Shape-aware estimate of the reference's single-chain CPU throughput:
+    MKL zheevd ≈ 20 ms at 512² complex, scaling (2N/512)³, ×Nt per
+    trajectory, +15% for forces/assembly.  (Documented estimate — the
+    reference publishes no numbers, BASELINE.md.)"""
+    dim = 2 * L * L
+    eigh_s = 0.020 * (dim / 512.0) ** 3
+    return 1.0 / (Nt * eigh_s * 1.15)
 
 
 def log(msg):
@@ -229,7 +236,8 @@ def main():
         "metric": f"hmc_trajectories_per_sec_per_chip_{L}x{L}_b{batch}_Nt{Nt}",
         "value": round(r["traj_per_sec"], 3),
         "unit": "traj/s",
-        "vs_baseline": round(r["traj_per_sec"] / REFERENCE_CPU_TRAJ_PER_SEC, 3),
+        "vs_baseline": round(r["traj_per_sec"]
+                             / reference_cpu_traj_per_sec(L, Nt), 3),
         "acceptance": round(r["acceptance"], 3),
         "eigh_mode": best_mode,
         "modes": {m: {"traj_per_sec": round(v["traj_per_sec"], 3),
