@@ -66,10 +66,14 @@ def main():
         from dwavehmc_tpu.sampler.hmc_real import (
             hmc_sweep_real, init_chain_state_real,
         )
-        d0 = uniform_dwave_delta(lat, 0.2, dtype=dtype)
+        # build the uniform d-wave start without complex intermediates
+        # (complex dtypes are unsupported on the target TPU runtime)
+        d0_re = jnp.zeros((lat.n_sites, 2), dtype=dtype)
+        d0_re = d0_re.at[:, 0].set(0.2).at[:, 1].set(-0.2)
         state = init_chain_state_real(
             lat, params, jax.random.PRNGKey(ns.seed),
-            delta0_re=d0.real, delta0_im=d0.imag, dtype=dtype, n_imp=0.0)
+            delta0_re=d0_re, delta0_im=jnp.zeros_like(d0_re),
+            dtype=dtype, n_imp=0.0)
         sweep = jax.jit(
             lambda p, s, Nt, dt: hmc_sweep_real(lat, p, s, Nt, dt,
                                                 ns.eigh_mode),
