@@ -183,15 +183,18 @@ def main():
     def one_segment(mode, states):
         if path != "real":
             return seg_fn(lat, params, states, sweeps, Nt, dt, True, None)
+        t_iters = int(os.environ.get("BENCH_TRACKED_ITERS", 6))
         if mode == "tracked":
             # split runner: the target compiler faults when the exact
             # embedding eigh shares a program with the tracked matmul loop
             return run_segment_tracked(lat, params, states, sweeps, Nt, dt,
-                                       True, None, None, 6)
+                                       True, None, None, t_iters)
         if mode == "tracked_fast":
             # cheap anchors: exact eigh every 5th sweep only
-            return run_segment_tracked(lat, params, states, sweeps, Nt, dt,
-                                       True, None, None, 6, 5, 12)
+            return run_segment_tracked(
+                lat, params, states, sweeps, Nt, dt, True, None, None,
+                t_iters, int(os.environ.get("BENCH_ANCHOR_EVERY", 5)),
+                int(os.environ.get("BENCH_REFINE_ITERS", 12)))
         return seg_fn(lat, params, states, sweeps, Nt, dt, True, None,
                       None, mode)
 
