@@ -32,6 +32,9 @@ def main():
     p.add_argument("--dtype", default="float64")
     p.add_argument("--out", default="data/benchmark_beta_scan.csv")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--path", choices=("complex", "real"), default="complex")
+    p.add_argument("--eigh_mode", choices=("exact", "tracked"),
+                   default="exact")
     from dwavehmc_tpu.utils.platform import add_platform_arg, force_platform
     add_platform_arg(p)
     ns = p.parse_args()
@@ -44,7 +47,6 @@ def main():
         make_params, uniform_dwave_delta,
     )
     from dwavehmc_tpu.models.bcs import bcs_gap_rhs
-    from dwavehmc_tpu.models.observables import measure_observables
 
     if ns.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
@@ -57,24 +59,45 @@ def main():
 
     params = make_params(t=t, tp=tp, mu=mu, W=0.0, n_imp=0.0,
                          beta=betas[0], J=ns.J, mass=1.0, dtype=dtype)
-    state = init_chain_state(
-        lat, params, jax.random.PRNGKey(ns.seed),
-        delta0=uniform_dwave_delta(lat, 0.2, dtype=dtype),
-        dtype=dtype, n_imp=0.0)
 
-    sweep = jax.jit(hmc_sweep, static_argnums=(0, 3))
+    if ns.path == "real":
+        from dwavehmc_tpu.models.observables_real import (
+            measure_observables_real as measure_fn,
+        )
+        from dwavehmc_tpu.sampler.hmc_real import (
+            hmc_sweep_real, init_chain_state_real,
+        )
+        d0_re = jnp.zeros((lat.n_sites, 2), dtype=dtype)
+        d0_re = d0_re.at[:, 0].set(0.2).at[:, 1].set(-0.2)
+        state = init_chain_state_real(
+            lat, params, jax.random.PRNGKey(ns.seed), delta0_re=d0_re,
+            delta0_im=jnp.zeros_like(d0_re), dtype=dtype, n_imp=0.0)
+        sweep = jax.jit(
+            lambda p, s, Nt, dt: hmc_sweep_real(lat, p, s, Nt, dt,
+                                                ns.eigh_mode),
+            static_argnums=(2,))
+    else:
+        from dwavehmc_tpu.models.observables import (
+            measure_observables as measure_fn,
+        )
+        state = init_chain_state(
+            lat, params, jax.random.PRNGKey(ns.seed),
+            delta0=uniform_dwave_delta(lat, 0.2, dtype=dtype),
+            dtype=dtype, n_imp=0.0)
+        sweep = jax.jit(lambda p, s, Nt, dt: hmc_sweep(lat, p, s, Nt, dt),
+                        static_argnums=(2,))
     os.makedirs(os.path.dirname(ns.out) or ".", exist_ok=True)
     rows = []
     for b in betas:
         params = params._replace(beta=jnp.asarray(b, dtype))
         dt = calc_optimal_dt(b, ns.J, 1.0, ns.Nt)
         for _ in range(ns.n_therm):
-            state, _ = sweep(lat, params, state, ns.Nt, dt)
+            state, _ = sweep(params, state, ns.Nt, dt)
         acc, globs, pairs, diffs = 0, [], [], []
         for _ in range(ns.n_measure):
-            state, info = sweep(lat, params, state, ns.Nt, dt)
+            state, info = sweep(params, state, ns.Nt, dt)
             acc += int(info.accepted)
-            obs = measure_observables(lat, params, state)
+            obs = measure_fn(lat, params, state)
             globs.append(float(obs.delta_global))
             pairs.append(float(obs.delta_pair))
             diffs.append(float(obs.delta_diff))
