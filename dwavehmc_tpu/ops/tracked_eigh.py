@@ -18,6 +18,14 @@ failures always take the exact path.
 Everything is complex arithmetic expressed as real (X, Y) pairs — 4 real
 matmuls per complex matmul — because the target runtime executes real
 dtypes only (see models/bdg_real.py).
+
+Known limit (future work): at high spectral density the damped simultaneous
+update settles into a limit cycle around residual ~1e-2·scale — clusters of
+levels within mutual coupling range need exact block rotations, not capped
+pairwise ones (interleaving exact adjacent-pair Jacobi rounds was measured
+not to break the floor).  This bounds the accuracy of anchor-free Metropolis
+(the "cheap anchor" mode stays opt-in); the per-sweep exact anchor makes the
+production tracked mode independent of it.
 """
 
 from __future__ import annotations
