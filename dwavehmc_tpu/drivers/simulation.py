@@ -24,7 +24,6 @@ import time
 import jax
 import numpy as np
 
-from ..models.params import HMCState
 from ..parallel.ensemble import (
     ensemble_transport_jit,
     ensemble_transport_real_jit,
