@@ -134,6 +134,18 @@ def test_full_spectrum_matches_numpy_oracle():
     np.testing.assert_allclose(np.asarray(res.A_k0), o["ak"], atol=1e-10)
 
 
+def test_dos_normalization():
+    """∫N(ω)dω ≈ 1: total spectral weight Σ_n w_n = N (unitarity of U),
+    up to Lorentzian tails outside the grid."""
+    params, state = make_state(seed=9)
+    spec = SpectralSpec(eta=0.1, domega=0.02, omega_max=12.0)
+    res = measure_transport_and_spectra(LAT, spec, params, state,
+                                        use_pallas=False)
+    integral = float(np.sum(np.asarray(res.dos))) * spec.domega
+    # tail mass outside ±ω_max for η=0.1 is ≲ 2·(η/π)/ω_max per state
+    np.testing.assert_allclose(integral, 1.0, atol=0.02)
+
+
 def test_current_operator_hermitian():
     Jp = np.asarray(current_operator_particle(LAT, 1.0, -0.35))
     np.testing.assert_allclose(Jp, Jp.conj().T, atol=1e-14)
