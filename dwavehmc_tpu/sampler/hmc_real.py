@@ -293,7 +293,6 @@ def hmc_sweep_real(lat: LatticeSpec, params: ModelParams,
                           state.evals, beta, J, mass)
 
     Hs_real = None
-    M_static = None
     if eigh_mode == "tracked":
         from ..models.bdg import static_hamiltonian
         from ..ops.tracked_eigh import tracked_eigh_nofallback
