@@ -42,7 +42,7 @@ def test_warm_start_converges_and_matches():
     H2 = H + dP
 
     e, Ur, Ui, bad = tracked_eigh(H2.real, H2.imag, Ur0, Ui0,
-                                  n_iter=7, tol=1e-6)
+                                  n_iter=14, tol=1e-6)
     assert not bool(bad)
     e_exact, _, _ = full_eigh_from_parts(H2.real, H2.imag)
     np.testing.assert_allclose(np.asarray(e), np.asarray(e_exact), atol=1e-7)
