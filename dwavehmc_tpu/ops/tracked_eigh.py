@@ -64,29 +64,36 @@ def _spectral_norm_est(sr, si, iters=3):
     return jnp.sqrt(jnp.sum(wr * wr + wi * wi))
 
 
-def cmm(ar, ai, br, bi):
-    """(a·b) for complex a, b given as real/imag parts."""
-    return ar @ br - ai @ bi, ar @ bi + ai @ br
+def cmm(ar, ai, br, bi, precision=None):
+    """(a·b) for complex a, b given as real/imag parts.
+
+    ``precision``: jax matmul precision — on TPU the default f32 matmul
+    runs at reduced (bf16-passes) precision; pass "highest" where the
+    result feeds Metropolis-grade eigenvalues."""
+    mm = lambda a, b: jnp.matmul(a, b, precision=precision)  # noqa: E731
+    return mm(ar, br) - mm(ai, bi), mm(ar, bi) + mm(ai, br)
 
 
-def cmm_dag(ar, ai, br, bi):
+def cmm_dag(ar, ai, br, bi, precision=None):
     """(a†·b)."""
-    return ar.T @ br + ai.T @ bi, ar.T @ bi - ai.T @ br
+    mm = lambda a, b: jnp.matmul(a, b, precision=precision)  # noqa: E731
+    return (mm(ar.T, br) + mm(ai.T, bi),
+            mm(ar.T, bi) - mm(ai.T, br))
 
 
-def _newton_schulz(ur, ui):
+def _newton_schulz(ur, ui, precision=None):
     """One step of U ← U(3I − U†U)/2 — re-unitarizes a near-unitary U."""
-    gr, gi = cmm_dag(ur, ui, ur, ui)
+    gr, gi = cmm_dag(ur, ui, ur, ui, precision)
     n = ur.shape[-1]
     mr = 1.5 * jnp.eye(n, dtype=ur.dtype) - 0.5 * gr
     mi = -0.5 * gi
-    return cmm(ur, ui, mr, mi)
+    return cmm(ur, ui, mr, mi, precision)
 
 
-def _project_T(hr, hi, ur, ui):
+def _project_T(hr, hi, ur, ui, precision=None):
     """T = U†HU and diagnostics: (tr, ti, d, offdiag_inf)."""
-    wr, wi = cmm(hr, hi, ur, ui)
-    tr, ti = cmm_dag(ur, ui, wr, wi)
+    wr, wi = cmm(hr, hi, ur, ui, precision)
+    tr, ti = cmm_dag(ur, ui, wr, wi, precision)
     d = jnp.diagonal(tr)
     n = d.shape[0]
     mask = 1.0 - jnp.eye(n, dtype=tr.dtype)
@@ -94,7 +101,7 @@ def _project_T(hr, hi, ur, ui):
     return tr, ti, d, jnp.max(off)
 
 
-def tracked_step(hr, hi, ur, ui, parity=0):
+def tracked_step(hr, hi, ur, ui, parity=0, precision=None):
     """One refinement iteration: rotate toward the eigenbasis.
 
     Rotation angles come from the exact 2×2 Jacobi formula
@@ -104,7 +111,7 @@ def tracked_step(hr, hi, ur, ui, parity=0):
     which re-crosses constantly during leapfrog).
     """
     del parity
-    tr, ti, d, _ = _project_T(hr, hi, ur, ui)
+    tr, ti, d, _ = _project_T(hr, hi, ur, ui, precision)
 
     n = d.shape[0]
     gap = d[None, :] - d[:, None]
@@ -125,9 +132,9 @@ def tracked_step(hr, hi, ur, ui, parity=0):
     sr = sr * alpha
     si = si * alpha
 
-    vr, vi = cmm(ur, ui, sr, si)          # U S
-    ur, ui = _newton_schulz(ur + vr, ui + vi)
-    ur, ui = _newton_schulz(ur, ui)
+    vr, vi = cmm(ur, ui, sr, si, precision)          # U S
+    ur, ui = _newton_schulz(ur + vr, ui + vi, precision)
+    ur, ui = _newton_schulz(ur, ui, precision)
     return ur, ui
 
 
@@ -146,7 +153,8 @@ def full_eigh_from_parts(hr, hi):
     return w[::2], V[:dim, ::2], V[dim:, ::2]
 
 
-def tracked_eigh_nofallback(hr, hi, ur0, ui0, *, n_iter: int = 6):
+def tracked_eigh_nofallback(hr, hi, ur0, ui0, *, n_iter: int = 6,
+                            precision=None):
     """Refinement only — no exact-eigh fallback.  For use under vmap, where
     ``lax.cond`` degrades to select (both branches would execute for every
     batch element).  Returns (evals ascending, Ur, Ui, offdiag residual);
@@ -161,10 +169,10 @@ def tracked_eigh_nofallback(hr, hi, ur0, ui0, *, n_iter: int = 6):
     difference."""
 
     def body(_k, uv):
-        return tracked_step(hr, hi, *uv)
+        return tracked_step(hr, hi, *uv, precision=precision)
 
     ur, ui = lax.fori_loop(0, n_iter, body, (ur0, ui0))
-    _, _, d, res = _project_T(hr, hi, ur, ui)
+    _, _, d, res = _project_T(hr, hi, ur, ui, precision)
     return d, ur, ui, res
 
 

@@ -151,10 +151,13 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
 
     res_end = res[-1]
     if refine_iters > 0:
+        # Metropolis-grade endpoint spectrum: full-precision matmuls (the
+        # TPU default f32 matmul runs bf16 passes — its noise was measured
+        # to corrupt the cheap-anchor dH and collapse acceptance)
         hr, hi = assemble_parts(lat, Hs_real,
                                 _finite_or_zero(dre), _finite_or_zero(dim_))
         e_f, X_f, Y_f, res_end = tracked_eigh_nofallback(
-            hr, hi, X_f, Y_f, n_iter=refine_iters)
+            hr, hi, X_f, Y_f, n_iter=refine_iters, precision="highest")
 
     return (dre, dim_, pre, pim, pi_re0, pi_im0, key,
             k_acc, jnp.max(res), e_f, X_f, Y_f, res_end)
