@@ -173,9 +173,8 @@ def main():
     dt = calc_optimal_dt(beta, J, mass, Nt)
 
     results = {}
-    # tracked_fast (cheap anchors) is opt-in: in float32 its Metropolis
-    # accuracy currently costs more acceptance than its speed buys
-    modes = os.environ.get("BENCH_MODES", "exact,tracked").split(",") \
+    modes = os.environ.get(
+        "BENCH_MODES", "exact,tracked,tracked_fast").split(",") \
         if path == "real" else ["exact"]
 
     from dwavehmc_tpu.parallel.ensemble import run_segment_tracked
@@ -190,11 +189,12 @@ def main():
             return run_segment_tracked(lat, params, states, sweeps, Nt, dt,
                                        True, None, None, t_iters)
         if mode == "tracked_fast":
-            # cheap anchors: exact eigh every 5th sweep only
+            # cheap anchors: exact eigh every 5th sweep; Metropolis uses the
+            # high-precision-refined tracked endpoint spectrum in between
             return run_segment_tracked(
                 lat, params, states, sweeps, Nt, dt, True, None, None,
                 t_iters, int(os.environ.get("BENCH_ANCHOR_EVERY", 5)),
-                int(os.environ.get("BENCH_REFINE_ITERS", 12)))
+                int(os.environ.get("BENCH_REFINE_ITERS", 20)))
         return seg_fn(lat, params, states, sweeps, Nt, dt, True, None,
                       None, mode)
 

@@ -51,7 +51,7 @@ class RunConfig:
     eigh_mode: str = "exact"        # "exact" | "tracked" (real path only)
     tracked_iters: int = 6          # refinement rotations per leapfrog step
     anchor_every: int = 1           # exact-eigh anchor every K sweeps
-    refine_iters: int = 12          # endpoint refinement for cheap anchors
+    refine_iters: int = 20          # endpoint refinement for cheap anchors
     # io
     out_dir: str = "runs/run"
     verbose: bool = True
