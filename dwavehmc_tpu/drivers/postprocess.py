@@ -52,28 +52,31 @@ def process_spectra(run_dir: str) -> dict:
     if not bins:
         raise ValueError(f"no bins in {run_dir}")
 
-    def stack(field):
+    def stack(field, grid_ndim):
+        """(n_bins·[n_chains], *grid): pool the chain axis whenever the
+        stored arrays carry one (decided by ndim, not by meta n_chains —
+        n_chains=1 runs still store a length-1 chain axis)."""
         arrs = [b[field] for _, b in sorted(bins.items())]
-        a = np.stack(arrs)                      # (n_bins, [chains,] ...)
-        if a.ndim >= 2 and "n_chains" in meta and int(meta["n_chains"]) > 1:
+        a = np.stack(arrs)                      # (n_bins, [chains,] *grid)
+        if a.ndim == grid_ndim + 2:
             a = a.reshape((-1,) + a.shape[2:])  # pool chains into samples
         return a
 
     omega = np.asarray(meta["omega_grid"])
     dosgrid = np.asarray(meta["dos_grid"])
 
-    m, s = _mean_sem(stack("opt_cond"))
+    m, s = _mean_sem(stack("opt_cond", 1))
     _write_grid_csv(os.path.join(run_dir, "processed_opt_cond.csv"),
                     "Omega", omega, m, s)
-    m, s = _mean_sem(stack("dos"))
+    m, s = _mean_sem(stack("dos", 1))
     _write_grid_csv(os.path.join(run_dir, "processed_dos.csv"),
                     "Omega", dosgrid, m, s)
-    m, s = _mean_sem(stack("dos_AN"))
+    m, s = _mean_sem(stack("dos_AN", 1))
     _write_grid_csv(os.path.join(run_dir, "processed_dos_AN.csv"),
                     "Omega", dosgrid, m, s)
 
     # A(k,0): average map, k mapped to [−π, π) via fftshift
-    ak = stack("A_k0")
+    ak = stack("A_k0", 2)
     ak_mean = ak.mean(axis=0)
     Lx, Ly = ak_mean.shape
     kx = 2 * np.pi * (np.fft.fftfreq(Lx))       # in (−π, π]

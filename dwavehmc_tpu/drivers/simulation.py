@@ -102,8 +102,22 @@ def run_simulation(cfg: RunConfig) -> dict:
         "Sweep,Chain," + OBS_HEADER.split(",", 1)[1])
     trans_header = TRANS_HEADER if n_chains == 1 else (
         "Sweep,Chain," + TRANS_HEADER.split(",", 1)[1])
-    f_obs = CsvWriter(os.path.join(cfg.out_dir, "observables.csv"), obs_header)
-    f_trans = CsvWriter(os.path.join(cfg.out_dir, "transport.csv"), trans_header)
+
+    # resolve the resume point BEFORE opening any output channel so a
+    # resumed run preserves every row/bin flushed up to the checkpoint
+    ckpt_path = os.path.join(cfg.out_dir, "checkpoint.npz")
+    start_sweep = 0
+    ckpt_extra: dict = {}
+    resumed = cfg.resume and os.path.exists(ckpt_path)
+    if resumed:
+        states, start_sweep, ckpt_extra = load_checkpoint(
+            ckpt_path, lat, params, state_path=path)
+    resume_at = start_sweep if resumed else None
+
+    f_obs = CsvWriter(os.path.join(cfg.out_dir, "observables.csv"),
+                      obs_header, resume_at=resume_at)
+    f_trans = CsvWriter(os.path.join(cfg.out_dir, "transport.csv"),
+                        trans_header, resume_at=resume_at)
     write_json(os.path.join(cfg.out_dir, "config.json"), cfg.to_dict())
 
     log("Starting Simulation (dwavehmc_tpu)...")
@@ -117,14 +131,13 @@ def run_simulation(cfg: RunConfig) -> dict:
         os.path.join(cfg.out_dir, "spectra_bins.npz"), cfg.bin_size,
         meta={"omega_grid": spec.omega_grid(), "dos_grid": spec.dos_grid(),
               "Lx": cfg.Lx, "Ly": cfg.Ly, "beta": cfg.beta, "J": cfg.J,
-              "eta": spec.eta, "n_chains": n_chains})
+              "eta": spec.eta, "n_chains": n_chains},
+        resume_at=resume_at)
 
-    ckpt_path = os.path.join(cfg.out_dir, "checkpoint.npz")
-    start_sweep = 0
-    if cfg.resume and os.path.exists(ckpt_path):
-        states, start_sweep, _ = load_checkpoint(ckpt_path, lat, params,
-                                                 state_path=path)
-        log(f"Resumed from checkpoint at sweep {start_sweep}.")
+    if resumed:
+        spectra.load_state(ckpt_extra)
+        log(f"Resumed from checkpoint at sweep {start_sweep} "
+            f"(partial bin: {spectra.count}/{cfg.bin_size}).")
     else:
         log("Initializing State...")
         states = init_fn(lat, params, jax.random.PRNGKey(cfg.seed),
@@ -203,7 +216,8 @@ def run_simulation(cfg: RunConfig) -> dict:
             })
 
         if cfg.checkpoint_freq and n_done % cfg.checkpoint_freq == 0:
-            save_checkpoint(ckpt_path, states, n_done)
+            save_checkpoint(ckpt_path, states, n_done,
+                            extra=spectra.state_dict())
 
         if n_done % 10 == 0:
             rate = acc_total / (max(1, n_done - start_sweep) * n_chains)
@@ -211,7 +225,7 @@ def run_simulation(cfg: RunConfig) -> dict:
             log(f"Meas {n_done}/{cfg.n_measure}. Acc={rate:.2f}. E={e:.4f}")
 
     trace_cm.__exit__(None, None, None)
-    save_checkpoint(ckpt_path, states, n_done)
+    save_checkpoint(ckpt_path, states, n_done, extra=spectra.state_dict())
     log(f"Measurement Done. Total Time: {time.time()-t0:.2f}s "
         f"[{timer.summary()}]")
     log.close()

@@ -35,8 +35,9 @@ def adjacency(lat: LatticeSpec) -> tuple[np.ndarray, np.ndarray]:
 
     Built from all 4 directions so both (i,j) and (j,i) are set — the full
     Hermitian matrix, unlike the reference's upper-triangle-only fill
-    (src/Hamiltonian.jl:26-44).  Multiplicity matters on L=2 tori (double
-    bonds), hence add rather than set.
+    (src/Hamiltonian.jl:26-44).  Additive scatter would double-count the
+    double bonds of an L=2 torus where the reference's overwrite counts
+    them once; LatticeSpec rejects L<3, making that regime unreachable.
     """
     nn, nnn = neighbor_tables(lat)
     N = lat.n_sites

@@ -26,10 +26,23 @@ NNN_DIRS = ((1, 1), (-1, 1), (-1, -1), (1, -1))
 
 @dataclasses.dataclass(frozen=True)
 class LatticeSpec:
-    """Static (hashable) lattice shape. Safe to use as a jit static arg."""
+    """Static (hashable) lattice shape. Safe to use as a jit static arg.
+
+    Requires Lx, Ly ≥ 3: on L=2 tori the +x/−x (+y/−y) neighbors coincide
+    and the additive scatter in bdg.py would double-count those bonds where
+    the reference's overwrite fill (src/Hamiltonian.jl:26-44) counts them
+    once, so that regime is made unreachable rather than silently divergent.
+    """
 
     Lx: int
     Ly: int
+
+    def __post_init__(self):
+        if self.Lx < 3 or self.Ly < 3:
+            raise ValueError(
+                f"LatticeSpec requires Lx, Ly >= 3 (got {self.Lx}x{self.Ly});"
+                " L=2 tori have double bonds that the additive BdG scatter"
+                " counts differently from the reference")
 
     @property
     def n_sites(self) -> int:

@@ -1,11 +1,17 @@
 """Checkpoint / deterministic resume — a capability the reference lacks
 entirely (SURVEY §5: no mechanism to save/restore state.Δ or RNG).
 
-Saves the full Markov state (Δ, π, disorder, eigenpairs are rebuilt, PRNG
-key), the sweep counter, the adaptive-Nt controller state and the spectra
-bin accumulators to a single .npz; ``load_checkpoint`` restores an
-``HMCState`` whose eigenpairs are re-diagonalized from the saved fields so
-the resumed chain is bit-for-bit on the same trajectory.
+Saves the Markov state (Δ, π, disorder, PRNG key) and the sweep counter
+to a single .npz, plus any caller-supplied ``extra`` arrays (the driver
+passes the spectra store's partial-bin accumulator through this channel).
+``load_checkpoint`` re-diagonalizes the eigenpairs from the saved
+(disorder, Δ), so an exact-mode resume continues bit-for-bit on the same
+trajectory.  Caveat for tracked/cheap-anchor mode: the restored spectrum
+is the *exact* eigh of the saved fields, not the in-flight tracked
+approximation, so a tracked-mode resume re-anchors at the checkpoint
+(statistically equivalent, not bit-identical).  Adaptive-Nt controller
+state is NOT saved — it only exists during thermalization, which always
+completes before the first checkpoint is written.
 """
 
 from __future__ import annotations

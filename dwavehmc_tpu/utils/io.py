@@ -44,11 +44,33 @@ class TeeLogger:
 
 
 class CsvWriter:
-    """Truncate-on-open CSV with per-row flush (src/Simulation.jl:55-56,166)."""
+    """Per-row-flushed CSV (src/Simulation.jl:55-56,166).
 
-    def __init__(self, path: str, header: str):
+    Fresh runs truncate like the reference.  A resumed run passes
+    ``resume_at`` = the checkpoint's sweep counter: rows already flushed
+    up to (and including) that sweep are preserved, rows beyond it (from
+    after the last checkpoint) are dropped so the resumed chain doesn't
+    duplicate them — the reference never loses flushed data
+    (src/Simulation.jl:166,206-215) and neither does this.
+    """
+
+    def __init__(self, path: str, header: str, resume_at: int | None = None):
+        kept: list[str] = []
+        if resume_at is not None and os.path.exists(path):
+            with open(path) as f:
+                lines = f.read().splitlines()
+            if lines and lines[0] == header:
+                for line in lines[1:]:
+                    try:
+                        sweep = int(float(line.split(",", 1)[0]))
+                    except (ValueError, IndexError):
+                        continue
+                    if sweep <= resume_at:
+                        kept.append(line)
         self.f = open(path, "w")
         self.f.write(header + "\n")
+        for line in kept:
+            self.f.write(line + "\n")
         self.f.flush()
 
     def row(self, *values):
@@ -78,16 +100,47 @@ class SpectraBinStore:
     the reference's jldsave seed (src/Simulation.jl:89).
     """
 
-    def __init__(self, path: str, bin_size: int, meta: dict | None = None):
+    def __init__(self, path: str, bin_size: int, meta: dict | None = None,
+                 resume_at: int | None = None):
         self.path = path
         self.bin_size = bin_size
         self.count = 0
         self.accum: dict[str, np.ndarray] = {}
         self.saved: dict[str, np.ndarray] = {}
+        if resume_at is not None and os.path.exists(path):
+            # a resumed run must keep every bin flushed before the
+            # checkpoint (the reference's JLD2 appends survive anything,
+            # src/Simulation.jl:206-215); bins from after the checkpoint
+            # are dropped so the re-run sweeps don't double-count
+            with np.load(path) as z:
+                for k in z.files:
+                    if k.startswith("sweep_"):
+                        idx = int(k[len("sweep_"):].split("_", 1)[0])
+                        if idx > resume_at:
+                            continue
+                    self.saved[k] = z[k]
         if meta:
             for k, v in meta.items():
                 self.saved[f"meta_{k}"] = np.asarray(v)
         self._flush()
+
+    # --- partial-bin persistence (checkpoint 'extra' payload) ---
+
+    def state_dict(self) -> dict[str, np.ndarray]:
+        """Partial-bin accumulator as flat arrays for checkpointing."""
+        out = {"bin_count": np.asarray(self.count)}
+        for k, v in self.accum.items():
+            out[f"bin_accum_{k}"] = v
+        return out
+
+    def load_state(self, extra: dict[str, np.ndarray]):
+        """Restore a partial bin saved by ``state_dict``."""
+        if "bin_count" not in extra:
+            return
+        self.count = int(extra["bin_count"])
+        self.accum = {k[len("bin_accum_"):]: np.asarray(v).copy()
+                      for k, v in extra.items()
+                      if k.startswith("bin_accum_")}
 
     def _flush(self):
         tmp = self.path + ".tmp.npz"   # .npz suffix: savez won't re-append

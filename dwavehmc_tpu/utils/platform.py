@@ -11,22 +11,30 @@ supported on TPU").
 from __future__ import annotations
 
 import os
+import re
 
 
-def force_platform(name: str | None):
+def force_platform(name: str | None, min_devices: int = 8):
     """Force the jax backend ("cpu" / "tpu" / None = leave as configured).
 
-    Must be called before any jax device use.  For "cpu" also exposes 8
-    virtual host devices so mesh code paths stay testable.
+    Must be called before any jax device use.  For "cpu" also exposes at
+    least ``min_devices`` virtual host devices so mesh code paths stay
+    testable (an externally supplied
+    ``--xla_force_host_platform_device_count`` is respected when it is
+    already large enough).
     """
     if not name:
         return
     os.environ["JAX_PLATFORMS"] = name
     if name == "cpu":
         flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
+        m = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+        if m is None or int(m.group(1)) < min_devices:
+            if m is not None:
+                flags = flags.replace(m.group(0), "").strip()
             os.environ["XLA_FLAGS"] = (
-                flags + " --xla_force_host_platform_device_count=8").strip()
+                flags + f" --xla_force_host_platform_device_count="
+                        f"{min_devices}").strip()
     import jax
 
     jax.config.update("jax_platforms", name)

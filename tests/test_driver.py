@@ -96,3 +96,48 @@ def test_checkpoint_resume_continues_trajectory(tmp_path):
     assert int(a["sweep_idx"]) == int(b["sweep_idx"]) == 10
     np.testing.assert_allclose(a["delta"], b["delta"], atol=1e-12)
     np.testing.assert_array_equal(a["key"], b["key"])
+
+
+def test_resume_preserves_prior_outputs(tmp_path):
+    """Rows, transport entries, spectra bins, and the partial bin
+    accumulator from before an interruption must survive a resume (the
+    reference never loses flushed data, src/Simulation.jl:166,206-215)."""
+    out = str(tmp_path / "dur")
+    # transport every 2 sweeps, bin_size 2 ⇒ bins at sweeps 4, 8, ...;
+    # checkpoint at 6 leaves a partial bin (the sweep-6 measurement)
+    common = dict(n_chains=1, n_therm=2, n_measure=6,
+                  measure_transport_freq=2, bin_size=2, checkpoint_freq=6,
+                  out_dir=out)
+    run_simulation(small_cfg(tmp_path, **common))
+
+    with open(os.path.join(out, "observables.csv")) as f:
+        rows_before = list(csv.DictReader(f))
+    assert len(rows_before) == 6
+    _, bins_before = SpectraBinStore.load_bins(
+        os.path.join(out, "spectra_bins.npz"))
+    assert sorted(bins_before) == [4]
+
+    # resume to 12 sweeps
+    run_simulation(small_cfg(tmp_path, **{**common, "n_measure": 12},
+                             resume=True))
+
+    with open(os.path.join(out, "observables.csv")) as f:
+        rows_after = list(csv.DictReader(f))
+    assert len(rows_after) == 12
+    assert [int(r["Sweep"]) for r in rows_after] == list(range(1, 13))
+    # pre-interruption rows are byte-identical (not recomputed)
+    for rb, ra in zip(rows_before, rows_after[:6]):
+        assert rb == ra
+
+    with open(os.path.join(out, "transport.csv")) as f:
+        trows = list(csv.DictReader(f))
+    assert [int(r["Sweep"]) for r in trows] == [2, 4, 6, 8, 10, 12]
+
+    _, bins_after = SpectraBinStore.load_bins(
+        os.path.join(out, "spectra_bins.npz"))
+    # the sweep-4 bin survived; the partial bin (sweep-6 measurement)
+    # completed at sweep 8; sweep-12 bin flushed in the resumed run
+    assert sorted(bins_after) == [4, 8, 12]
+    np.testing.assert_array_equal(bins_after[4]["opt_cond"],
+                                  bins_before[4]["opt_cond"])
+    assert int(bins_after[8]["count"]) == 2

@@ -72,3 +72,15 @@ def test_disorder_deterministic_per_key():
     c = np.asarray(sample_disorder(jax.random.PRNGKey(8), lat, 1.0, 0.25))
     assert np.array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_lattice_rejects_small_tori():
+    """L<3 tori have coincident ±x/±y neighbors (double bonds) where the
+    additive BdG scatter diverges from the reference's overwrite fill —
+    the constructor makes that regime unreachable."""
+    import pytest
+
+    for bad in [(2, 4), (4, 2), (2, 2), (1, 5)]:
+        with pytest.raises(ValueError):
+            LatticeSpec(*bad)
+    LatticeSpec(3, 3)  # smallest supported torus

@@ -93,3 +93,15 @@ def test_serial_scan_dirs(tmp_path):
     assert len(res) == 2
     assert os.path.isdir(os.path.join(root, "T_1"))
     assert os.path.isdir(os.path.join(root, "T_2"))
+
+    # single-chain (n_chains=1) spectra must post-process cleanly: the
+    # chain axis is pooled by ndim, not by meta n_chains (regression for
+    # the (1, n_omega)-shaped mean crash)
+    out = batch_process_spectra(root, "T_*")
+    assert not out["failed"], out["failed"]
+    assert len(out["processed"]) == 2
+    with open(os.path.join(root, "T_1", "processed_dos.csv")) as f:
+        lines = f.read().strip().split("\n")
+    assert len(lines) > 2
+    for line in lines[1:]:
+        assert np.isfinite(float(line.split(",")[1]))
