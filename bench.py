@@ -241,6 +241,8 @@ def main():
         "unit": "traj/s",
         "vs_baseline": round(r["traj_per_sec"]
                              / reference_cpu_traj_per_sec(L, Nt), 3),
+        "baseline_note": ("vs documented CPU estimate "
+                          "(reference publishes no numbers)"),
         "acceptance": round(r["acceptance"], 3),
         "eigh_mode": best_mode,
         "modes": {m: {"traj_per_sec": round(v["traj_per_sec"], 3),

@@ -106,6 +106,20 @@ def batch_process_spectra(scan_root: str, pattern: str = "*") -> dict:
     return {"processed": results, "failed": failures}
 
 
+def fit_power_law(x, y) -> tuple[float, float, int]:
+    """Least-squares log-log fit y ≈ a·x^b over strictly positive finite
+    samples — the Δ_pair-vs-T power-law analysis from the reference's
+    plot_stiffness.ipynb notebooks (SURVEY S20).  Returns (a, b, n_used).
+    """
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    m = (x > 0) & (y > 0) & np.isfinite(x) & np.isfinite(y)
+    if int(m.sum()) < 2:
+        raise ValueError("power-law fit needs >= 2 positive finite samples")
+    b, loga = np.polyfit(np.log(x[m]), np.log(y[m]), 1)
+    return float(np.exp(loga)), float(b), int(m.sum())
+
+
 def _csv_stats(path: str, skip_cols=("Sweep", "Chain", "Accepted")) -> dict:
     """Column means and SEMs of a per-sweep CSV, excluding index-ish columns
     except Accepted, which is averaged into an acceptance rate."""

@@ -90,17 +90,37 @@ def _broadcast_params(base: ModelParams, n: int, **per_chain) -> ModelParams:
     return ModelParams(**fields)
 
 
+def adapt_dts(dts: np.ndarray, acc: np.ndarray, dt0: np.ndarray,
+              lo: float = 0.60, hi: float = 0.95, shrink: float = 0.7,
+              grow: float = 1.1, max_factor: float = 4.0) -> np.ndarray:
+    """Per-chain step-size controller for the vectorized scan.
+
+    The reference's thermalization controller retunes (Nt, dt) per point
+    every 5 sweeps toward the 0.60–0.95 acceptance window
+    (src/Simulation.jl:99-130).  Under a single jitted ensemble, Nt is a
+    static loop bound shared by every chain, so the per-chain knob is dt
+    (a traced array — adapting it re-jits nothing): acceptance below the
+    window shrinks dt, above it grows dt (bounded by ``max_factor``·dt0)
+    to trade surplus acceptance for longer trajectories.
+    """
+    dts = np.where(acc < lo, dts * shrink, dts)
+    dts = np.where(acc > hi, np.minimum(dts * grow, dt0 * max_factor), dts)
+    return dts
+
+
 def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                         out_root: str | None = None,
                         replicas: int | None = None,
                         use_mesh: bool = True) -> dict:
     """Whole grid in one ensemble: chains = len(values) × replicas.
 
-    Thermalizes with fixed ``Nt_therm_init`` and per-chain dt (the adaptive
-    controller needs per-point host loops — use run_scan_serial when exact
-    reference thermalization semantics matter), then measures with
-    ``Nt_measure``.  Writes the same per-point directory layout as the
-    serial scan.
+    Thermalizes with fixed ``Nt_therm_init`` and a per-chain adaptive dt
+    (window-5 controller, see ``adapt_dts``; use run_scan_serial when the
+    reference's exact Nt-retuning semantics matter), then measures with
+    ``Nt_measure`` and the learned per-chain dt correction.  When the
+    chain count is not a device multiple the ensemble is padded with
+    throwaway chains so mesh sharding is never silently dropped.  Writes
+    the same per-point directory layout as the serial scan.
     """
     out_root = out_root or cfg.out_dir
     os.makedirs(out_root, exist_ok=True)
@@ -122,11 +142,22 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         raise ValueError("vectorized scan supports scan_param in {'T','beta'}")
     beta_per_chain = np.repeat(betas, C)
 
+    # pad to a device multiple so mesh sharding never gets dropped; the
+    # padded chains recompute the last grid point and are discarded
+    n_dev = len(jax.devices())
+    n_pad = (-n_total) % n_dev if (use_mesh and n_dev > 1) else 0
+    n_run = n_total + n_pad
+    if n_pad:
+        beta_per_chain = np.concatenate(
+            [beta_per_chain, np.full(n_pad, beta_per_chain[-1])])
+        log(f"Padding ensemble with {n_pad} throwaway chain(s) to reach a "
+            f"multiple of {n_dev} devices ({n_total} -> {n_run}).")
+
     base = cfg.params()
-    params = _broadcast_params(base, n_total, beta=beta_per_chain)
+    params = _broadcast_params(base, n_run, beta=beta_per_chain)
 
     log(f"Vectorized {scan_param}-scan: {G} points x {C} replicas = "
-        f"{n_total} chains on {len(jax.devices())} device(s); "
+        f"{n_total} chains on {n_dev} device(s); "
         f"lattice {cfg.Lx}x{cfg.Ly}")
 
     path = cfg.resolved_path()
@@ -150,29 +181,45 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         init_fn = init_ensemble
         transport_fn = ensemble_transport_jit
 
-    n_dev = len(jax.devices())
-    mesh = (make_mesh() if use_mesh and n_dev > 1 and n_total % n_dev == 0
-            else None)
-    states = init_fn(lat, base, jax.random.PRNGKey(cfg.seed), n_total,
+    mesh = make_mesh() if (use_mesh and n_dev > 1) else None
+    states = init_fn(lat, base, jax.random.PRNGKey(cfg.seed), n_run,
                      dtype=dtype, n_imp=cfg.n_imp)
     if mesh is not None:
         states = shard_ensemble(states, mesh)
 
-    # --- thermalization: fixed Nt, per-chain dt ------------------------
+    # --- thermalization: fixed Nt, per-chain adaptive dt ----------------
+    # window-5 controller toward the reference's 0.60–0.95 acceptance
+    # band (src/Simulation.jl:99-130), per-chain dt as the knob
     Nt_th = cfg.Nt_therm_init
-    dt_th = jnp.asarray(
-        [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_th) for b in beta_per_chain],
-        dtype=dtype)
-    states, seg = seg_fn(lat, params, states, cfg.n_therm, Nt_th,
-                         dt_th, False, 0, 0)
-    acc_th = np.asarray(seg.accepted).mean()
+    dt0 = np.asarray(
+        [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_th) for b in beta_per_chain])
+    dts = dt0.copy()
+    window = 5
+    done = 0
+    while done < cfg.n_therm:
+        n = min(window, cfg.n_therm - done)
+        states, seg = seg_fn(lat, params, states, n, Nt_th,
+                             jnp.asarray(dts, dtype=dtype), False, 0, 0)
+        done += n
+        acc_chain = np.asarray(seg.accepted).mean(axis=0)   # (n_run,)
+        new_dts = adapt_dts(dts, acc_chain, dt0)
+        n_adj = int(np.sum(new_dts != dts))
+        if n_adj:
+            log(f"Therm {done}/{cfg.n_therm}: mean acc="
+                f"{acc_chain.mean():.2f}; adjusted dt on {n_adj} chain(s)")
+        dts = new_dts
     log(f"Thermalization done ({cfg.n_therm} sweeps, Nt={Nt_th}), "
-        f"mean acc={acc_th:.2f}")
+        f"mean acc={np.asarray(seg.accepted).mean():.2f}")
 
     # --- measurement ----------------------------------------------------
+    # carry the learned per-chain dt correction factor into the
+    # measurement step size (reference recomputes dt per phase from the
+    # harmonic heuristic; the factor preserves the per-point tuning)
     Nt_m = cfg.Nt_measure
+    factor = dts / dt0
     dt_m = jnp.asarray(
-        [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_m) for b in beta_per_chain],
+        [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_m) * f
+         for b, f in zip(beta_per_chain, factor)],
         dtype=dtype)
 
     # per-point output channels
@@ -245,6 +292,10 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
 
     for w in f_obs + f_trans:
         w.close()
+    if cfg.n_measure % freq != 0:
+        log(f"NOTE: final {cfg.n_measure % freq} sweep(s) had no transport "
+            f"measurement (n_measure={cfg.n_measure} is not a multiple of "
+            f"measure_transport_freq={freq}).")
     log("Scan done.")
     log.close()
     return {"dirs": dirs, "values": values.tolist(), "chains": n_total}

@@ -226,6 +226,10 @@ def run_simulation(cfg: RunConfig) -> dict:
 
     trace_cm.__exit__(None, None, None)
     save_checkpoint(ckpt_path, states, n_done, extra=spectra.state_dict())
+    if cfg.n_measure % freq != 0:
+        log(f"NOTE: final {cfg.n_measure % freq} sweep(s) had no transport "
+            f"measurement (n_measure={cfg.n_measure} is not a multiple of "
+            f"measure_transport_freq={freq}).")
     log(f"Measurement Done. Total Time: {time.time()-t0:.2f}s "
         f"[{timer.summary()}]")
     log.close()

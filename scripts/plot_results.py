@@ -133,6 +133,29 @@ def main():
             if c in rows[0]:
                 ax.errorbar(x, col(c), yerr=col(c.replace("_mean", "_sem")),
                             marker="o", ms=3, label=lbl)
+
+        # log-log power-law fit of Δ_pair vs the scan value (the analysis
+        # from the reference's plot_stiffness.ipynb notebooks, SURVEY S20)
+        if "Delta_Pair_mean" in rows[0]:
+            from dwavehmc_tpu.drivers.postprocess import fit_power_law
+
+            try:
+                a, b, n_used = fit_power_law(x, col("Delta_Pair_mean"))
+                xs = np.logspace(np.log10(x[x > 0].min()),
+                                 np.log10(x.max()), 50)
+                ax.plot(xs, a * xs**b, "k:", lw=1,
+                        label=rf"fit $\Delta_{{pair}} \propto "
+                              rf"{name}^{{{b:.3f}}}$")
+                print(f"power-law fit: Delta_Pair ~ {a:.4g} * "
+                      f"{name}^{b:.4f} ({n_used} points)")
+                import json as _json
+                with open(os.path.join(out, "powerlaw_fit.json"), "w") as f:
+                    _json.dump({"observable": "Delta_Pair", "vs": name,
+                                "prefactor": a, "exponent": b,
+                                "n_points": n_used}, f, indent=2)
+            except ValueError as e:
+                print(f"power-law fit skipped: {e}")
+
         ax.set_xscale("log")
         ax.set_yscale("log")
         ax.set_xlabel(name)

@@ -52,3 +52,32 @@ def test_plot_results_from_scan(tmp_path):
     assert os.path.exists(os.path.join(root, "sigma_omega.png"))
     assert os.path.exists(os.path.join(root, "dos.png"))
     assert os.path.exists(os.path.join(root, "stiffness.png"))
+    assert os.path.exists(os.path.join(root, "order_params.png"))
+    # the power-law fit wrote its JSON (2 positive points suffice)
+    assert os.path.exists(os.path.join(root, "powerlaw_fit.json"))
+
+
+def test_fit_power_law_recovers_exponent():
+    """Synthetic Δ_pair ~ a·T^b data must round-trip through the log-log
+    fit (the plot_stiffness.ipynb analysis, SURVEY S20)."""
+    import numpy as np
+    import pytest
+
+    from dwavehmc_tpu.drivers.postprocess import fit_power_law
+
+    x = np.logspace(-3, 1, 12)
+    a, b, n = fit_power_law(x, 2.5 * x**-1.7)
+    assert n == 12
+    assert abs(a - 2.5) < 1e-8
+    assert abs(b + 1.7) < 1e-10
+
+    # non-positive samples are excluded, not fatal
+    y = 0.3 * x**0.5
+    y[0] = 0.0
+    y[3] = -1.0
+    a, b, n = fit_power_law(x, y)
+    assert n == 10
+    assert abs(b - 0.5) < 1e-10
+
+    with pytest.raises(ValueError):
+        fit_power_law([1.0, 2.0], [0.0, -1.0])

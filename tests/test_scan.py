@@ -105,3 +105,48 @@ def test_serial_scan_dirs(tmp_path):
     assert len(lines) > 2
     for line in lines[1:]:
         assert np.isfinite(float(line.split(",")[1]))
+
+
+def test_adapt_dts_controller():
+    """Per-chain dt controller: shrink below the window, grow above it
+    (capped), untouched inside (reference band 0.60-0.95,
+    src/Simulation.jl:116-120)."""
+    from dwavehmc_tpu.drivers.scan import adapt_dts
+
+    dt0 = np.array([0.1, 0.1, 0.1, 0.1])
+    dts = dt0.copy()
+    acc = np.array([0.2, 0.7, 0.99, 0.99])
+    out = adapt_dts(dts, acc, dt0)
+    assert out[0] < dts[0]                  # too-low acceptance: shrink
+    assert out[1] == dts[1]                 # in-window: untouched
+    assert out[2] > dts[2]                  # too-high acceptance: grow
+    # cap at max_factor * dt0
+    big = adapt_dts(dt0 * 4.0, acc, dt0)
+    assert big[3] == dt0[3] * 4.0
+
+    # a chain stuck at acc=0 converges toward 0 monotonically
+    d = dt0.copy()
+    for _ in range(10):
+        d = adapt_dts(d, np.zeros(4), dt0)
+    assert np.all(d < dt0 * 0.05)
+
+
+def test_vectorized_scan_pads_to_device_multiple(tmp_path):
+    """3 points x 1 replica = 3 chains on 8 virtual devices: the ensemble
+    must be padded to 8 (mesh kept) and outputs written only for the real
+    chains."""
+    root = str(tmp_path / "padscan")
+    cfg = tiny_cfg(root, n_chains=1, n_therm=4, n_measure=4,
+                   measure_transport_freq=2, bin_size=1)
+    out = run_scan_vectorized(cfg, [0.5, 1.0, 2.0], scan_param="T",
+                              replicas=1)
+    assert out["chains"] == 3
+    with open(os.path.join(root, "scan.log")) as f:
+        logtxt = f.read()
+    assert "Padding ensemble with 5 throwaway chain(s)" in logtxt
+    for d in out["dirs"]:
+        with open(os.path.join(d, "observables.csv")) as f:
+            rows = f.read().strip().split("\n")
+        assert len(rows) == 1 + 4          # header + 4 sweeps, 1 chain
+    res = batch_process_spectra(root, "T_*")
+    assert not res["failed"], res["failed"]
