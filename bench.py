@@ -51,6 +51,32 @@ def reference_cpu_traj_per_sec(L: int, Nt: int) -> float:
     return 1.0 / (Nt * eigh_s * 1.15)
 
 
+#: v5e MXU peak (bf16 multiply passes — the rate default-precision f32
+#: matmuls execute at).  Documented constant for the MFU denominator.
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def tracked_model_flops(L: int, Nt: int, batch: int, n_sweeps: int,
+                        tracked_iters: int, anchor_every: int,
+                        refine_iters: int, polish_iters: int = 0) -> float:
+    """Model FLOPs of the tracked-rotation matmul pipeline per segment
+    (counts only the (2N)³ rotation matmuls — forces, eighs and VPU work
+    excluded, so the resulting MFU slightly understates true utilization).
+
+    Per tracked_step with the 3-mult complex algebra: project_T 6 + U·S 3
+    + 2×Newton–Schulz 12 = 21 matmuls of 2n³ flops (n = 2L²).  The
+    endpoint refinement rotations run the same fast path; only its final
+    eigenvalue readout (6 matmuls, 4-mult "highest") is slow-precision.
+    """
+    n = 2 * L * L
+    mm = 2.0 * n**3
+    per_step = 21 * mm * tracked_iters
+    cheap_extra = (21 * refine_iters + 28 * polish_iters) * mm
+    n_anchor = (n_sweeps // anchor_every if anchor_every > 1 else n_sweeps)
+    n_cheap = n_sweeps - n_anchor
+    return batch * (n_sweeps * Nt * per_step + n_cheap * cheap_extra)
+
+
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
@@ -190,11 +216,12 @@ def main():
                                        True, None, None, t_iters)
         if mode == "tracked_fast":
             # cheap anchors: exact eigh every 5th sweep; Metropolis uses the
-            # high-precision-refined tracked endpoint spectrum in between
+            # refined+polished tracked endpoint spectrum in between
             return run_segment_tracked(
                 lat, params, states, sweeps, Nt, dt, True, None, None,
                 t_iters, int(os.environ.get("BENCH_ANCHOR_EVERY", 5)),
-                int(os.environ.get("BENCH_REFINE_ITERS", 20)))
+                int(os.environ.get("BENCH_REFINE_ITERS", 12)),
+                int(os.environ.get("BENCH_POLISH_ITERS", 6)))
         return seg_fn(lat, params, states, sweeps, Nt, dt, True, None,
                       None, mode)
 
@@ -211,11 +238,28 @@ def main():
             times.append(time.perf_counter() - t0)
             log(f"[{mode}] rep {r}: {times[-1]:.3f}s")
         best = min(times)
-        return states, {
+        out = {
             "traj_per_sec": batch * sweeps / best,
             "acceptance": float(np.mean(acc_arr)),
             "times_s": [round(t, 4) for t in times],
         }
+        if mode.startswith("tracked"):
+            t_iters = int(os.environ.get("BENCH_TRACKED_ITERS", 6))
+            a_every = (int(os.environ.get("BENCH_ANCHOR_EVERY", 5))
+                       if mode == "tracked_fast" else 1)
+            r_iters = (int(os.environ.get("BENCH_REFINE_ITERS", 12))
+                       if mode == "tracked_fast" else 0)
+            p_iters = (int(os.environ.get("BENCH_POLISH_ITERS", 6))
+                       if mode == "tracked_fast" else 0)
+            flops = tracked_model_flops(L, Nt, batch, sweeps, t_iters,
+                                        a_every, r_iters, p_iters)
+            out["model_tflops"] = round(flops / best / 1e12, 2)
+            out["mfu_pct"] = round(100 * flops / best / 1e12
+                                   / V5E_BF16_PEAK_TFLOPS, 2)
+            log(f"[{mode}] tracked-pipeline model rate: "
+                f"{out['model_tflops']} TFLOP/s "
+                f"({out['mfu_pct']}% of v5e bf16 peak)")
+        return states, out
 
     for mode in modes:
         try:
@@ -245,8 +289,12 @@ def main():
                           "(reference publishes no numbers)"),
         "acceptance": round(r["acceptance"], 3),
         "eigh_mode": best_mode,
-        "modes": {m: {"traj_per_sec": round(v["traj_per_sec"], 3),
-                      "acceptance": round(v["acceptance"], 3)}
+        "modes": {m: {k2: v2 for k2, v2 in
+                      (("traj_per_sec", round(v["traj_per_sec"], 3)),
+                       ("acceptance", round(v["acceptance"], 3)),
+                       ("model_tflops", v.get("model_tflops")),
+                       ("mfu_pct", v.get("mfu_pct")))
+                      if v2 is not None}
                   for m, v in results.items()},
         "eigh_ms": None if eigh_ms is None else round(eigh_ms, 3),
         "eigh_tflops_eff": None if eigh_tflops is None else round(eigh_tflops, 2),

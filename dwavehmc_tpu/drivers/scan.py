@@ -169,7 +169,8 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                 return run_segment_tracked(lt, p, s, n, Nt, dt, measure,
                                            pa, da, cfg.tracked_iters,
                                            cfg.anchor_every,
-                                           cfg.refine_iters)
+                                           cfg.refine_iters,
+                                           cfg.polish_iters)
         else:
             def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da):
                 return run_segment_real_jit(lt, p, s, n, Nt, dt, measure,

@@ -84,7 +84,8 @@ def run_simulation(cfg: RunConfig) -> dict:
                 return run_segment_tracked(lt, p, s, n, Nt, dt, measure,
                                            pa, None, cfg.tracked_iters,
                                            cfg.anchor_every,
-                                           cfg.refine_iters)
+                                           cfg.refine_iters,
+                                           cfg.polish_iters)
         else:
             def seg_fn(lt, p, s, n, Nt, dt, measure, pa):
                 return run_segment_real_jit(lt, p, s, n, Nt, dt, measure,

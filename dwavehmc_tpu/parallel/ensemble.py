@@ -179,13 +179,14 @@ def run_segment_real_jit(lat, params, states, n_sweeps, Nt, dt,
 # anchor + Metropolis + observables) as separate jits per sweep.  Dispatch
 # overhead is ~10 ms/call — noise against a multi-hundred-ms sweep.
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8, 9))
 def _tracked_leapfrog_jit(lat, params, states, Nt, dt, tracked_iters,
-                          params_axis=None, dt_axis=None, refine_iters=0):
+                          params_axis=None, dt_axis=None, refine_iters=0,
+                          polish_iters=0):
     from ..sampler.hmc_real import tracked_leapfrog
 
     fn = lambda p, s, d: tracked_leapfrog(lat, p, s, Nt, d, tracked_iters,  # noqa: E731
-                                          refine_iters)
+                                          refine_iters, polish_iters)
     return jax.vmap(fn, in_axes=(params_axis, 0, dt_axis))(
         params, states, jnp.asarray(dt))
 
@@ -207,9 +208,54 @@ def _tracked_accept_jit(lat, params, states, proposal, measure=True,
     return states, info, obs
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9, 10, 11))
+def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
+                       refine_iters, measure=True, params_axis=None,
+                       dt_axis=None, polish_iters=0):
+    """``n_cheap`` cheap-anchor sweeps + the following (anchor) sweep's
+    leapfrog, fused into ONE program — pure matmuls throughout (no eigh,
+    so it is safe on the target compiler), cutting host dispatches from
+    2 per sweep to 2 per ``anchor_every`` sweeps.  The tunnel's per-call
+    dispatch cost is ~30 ms, comparable to a whole cheap sweep's compute,
+    so this fusion roughly doubles tracked_fast throughput at 16×16.
+
+    Returns (states after the cheap sweeps, per-sweep records or None,
+    proposal for the anchor sweep to feed _tracked_accept_jit).
+    """
+    from ..models.observables_real import measure_observables_real
+    from ..sampler.hmc_real import tracked_accept_cheap, tracked_leapfrog
+
+    dt_arr = jnp.asarray(dt)
+
+    def leapfrog_all(states, r_iters, p_iters):
+        fn = lambda p, s, d: tracked_leapfrog(lat, p, s, Nt, d,  # noqa: E731
+                                              tracked_iters, r_iters,
+                                              p_iters)
+        return jax.vmap(fn, in_axes=(params_axis, 0, dt_axis))(
+            params, states, dt_arr)
+
+    def sweep(states, _):
+        proposal = leapfrog_all(states, refine_iters, polish_iters)
+        fn = lambda p, s, prop: tracked_accept_cheap(lat, p, s, prop)  # noqa: E731
+        states, info = jax.vmap(fn, in_axes=(params_axis, 0, 0))(
+            params, states, proposal)
+        obs = None
+        if measure:
+            obs = jax.vmap(functools.partial(measure_observables_real, lat),
+                           in_axes=(params_axis, 0))(params, states)
+        return states, (info.accepted, info.dH, obs)
+
+    recs = None
+    if n_cheap > 0:
+        states, recs = lax.scan(sweep, states, None, length=n_cheap)
+    proposal = leapfrog_all(states, 0, 0)   # anchor sweep: exact eigh follows
+    return states, recs, proposal
+
+
 def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                         measure=True, params_axis=None, dt_axis=None,
-                        tracked_iters=6, anchor_every=1, refine_iters=12):
+                        tracked_iters=6, anchor_every=1, refine_iters=12,
+                        polish_iters=6):
     """Host-sequenced tracked segment; same interface/results shape as
     run_segment_real(eigh_mode="tracked") but crash-safe on the target
     compiler.
@@ -218,26 +264,50 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
     sweep only; the sweeps in between use the refined tracked endpoint
     spectrum for Metropolis (``refine_iters`` extra rotations).  K=1 is
     the unbiased default; K>1 trades a controlled, residual-sized energy
-    bias for skipping most exact eighs.
+    bias for skipping most exact eighs, and runs each K-sweep block as
+    one fused matmul program + one anchor program (2 dispatches per K
+    sweeps).  The final sweep of the segment is always exact-anchored so
+    the carried eigenpairs (used by transport measurement) are exact.
     """
     accs, dHs, obss = [], [], []
-    for i in range(n_sweeps):
-        exact_anchor = (anchor_every <= 1) or ((i + 1) % anchor_every == 0)
-        r_iters = 0 if exact_anchor else refine_iters
-        proposal = _tracked_leapfrog_jit(lat, params, states, Nt, dt,
-                                         tracked_iters, params_axis,
-                                         dt_axis, r_iters)
-        states, info, obs = _tracked_accept_jit(lat, params, states,
-                                                proposal, measure,
-                                                params_axis,
-                                                not exact_anchor)
-        accs.append(info.accepted)
-        dHs.append(info.dH)
+
+    def record(acc, dH, obs):
+        accs.append(acc)
+        dHs.append(dH)
         if measure:
             obss.append(obs)
-    acc = jnp.stack(accs)
-    dH = jnp.stack(dHs)
-    obs = (jax.tree.map(lambda *xs: jnp.stack(xs), *obss)
+
+    if anchor_every <= 1:
+        for _ in range(n_sweeps):
+            proposal = _tracked_leapfrog_jit(lat, params, states, Nt, dt,
+                                             tracked_iters, params_axis,
+                                             dt_axis, 0)
+            states, info, obs = _tracked_accept_jit(lat, params, states,
+                                                    proposal, measure,
+                                                    params_axis, False)
+            record(info.accepted[None], info.dH[None],
+                   None if not measure
+                   else jax.tree.map(lambda x: x[None], obs))
+    else:
+        done = 0
+        while done < n_sweeps:
+            k = min(anchor_every, n_sweeps - done)   # k-1 cheap + 1 anchored
+            states, recs, proposal = _tracked_block_jit(
+                lat, params, states, k - 1, Nt, dt, tracked_iters,
+                refine_iters, measure, params_axis, dt_axis, polish_iters)
+            if recs is not None:
+                record(*recs)
+            states, info, obs = _tracked_accept_jit(lat, params, states,
+                                                    proposal, measure,
+                                                    params_axis, False)
+            record(info.accepted[None], info.dH[None],
+                   None if not measure
+                   else jax.tree.map(lambda x: x[None], obs))
+            done += k
+
+    acc = jnp.concatenate(accs)
+    dH = jnp.concatenate(dHs)
+    obs = (jax.tree.map(lambda *xs: jnp.concatenate(xs), *obss)
            if measure else None)
     return states, SegmentResult(accepted=acc, dH=dH, observables=obs)
 

@@ -95,14 +95,22 @@ def _finite_or_zero(x):
 
 def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
                      state: HMCStateReal, Nt: int, dt,
-                     tracked_iters: int = 6, refine_iters: int = 0):
+                     tracked_iters: int = 6, refine_iters: int = 0,
+                     polish_iters: int = 6):
     """Phase 1 of the split tracked sweep: momentum refresh + fully tracked
     leapfrog (no exact eigh anywhere — the target TPU compiler faults when
     the embedding eigh and the tracked matmul loop share one program).
 
     ``refine_iters`` > 0 adds extra refinement at the trajectory endpoint
     so the tracked spectrum there is tight enough to serve as a cheap
-    Metropolis anchor (see tracked_accept_cheap).
+    Metropolis anchor (see tracked_accept_cheap).  The endpoint runs in
+    two phases: ``refine_iters`` rotations at the fast default (bf16-pass)
+    MXU rate converge the basis to the bf16 noise floor (~2e-2 absolute
+    off-diagonal at 16×16), then ``polish_iters`` rotations at
+    precision="highest" contract it to the f32 floor — measured on-TPU:
+    default-precision-only rotations leave eigenvalue errors ~r²/gap that
+    sum to dH errors of ~8 at β=10 (acceptance collapse), while a short
+    highest-precision polish restores exact-anchor-grade dH.
 
     Returns (proposal fields/momenta, pi0, key', k_acc, max residual,
     endpoint evals/X/Y, endpoint residual).
@@ -150,14 +158,20 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
     pim = pim - 0.5 * dt * Fi_l
 
     res_end = res[-1]
-    if refine_iters > 0:
-        # Metropolis-grade endpoint spectrum: full-precision matmuls (the
-        # TPU default f32 matmul runs bf16 passes — its noise was measured
-        # to corrupt the cheap-anchor dH and collapse acceptance)
+    if refine_iters > 0 or polish_iters > 0:
         hr, hi = assemble_parts(lat, Hs_real,
                                 _finite_or_zero(dre), _finite_or_zero(dim_))
-        e_f, X_f, Y_f, res_end = tracked_eigh_nofallback(
-            hr, hi, X_f, Y_f, n_iter=refine_iters, precision="highest")
+        if refine_iters > 0:
+            # phase 1: fast rotations to the bf16 noise floor (readout
+            # precision only matters when no polish follows)
+            e_f, X_f, Y_f, res_end = tracked_eigh_nofallback(
+                hr, hi, X_f, Y_f, n_iter=refine_iters,
+                eval_precision="highest" if polish_iters == 0 else None)
+        if polish_iters > 0:
+            # phase 2: full-precision polish to the f32 floor +
+            # Metropolis-grade eigenvalue readout
+            e_f, X_f, Y_f, res_end = tracked_eigh_nofallback(
+                hr, hi, X_f, Y_f, n_iter=polish_iters, precision="highest")
 
     return (dre, dim_, pre, pim, pi_re0, pi_im0, key,
             k_acc, jnp.max(res), e_f, X_f, Y_f, res_end)

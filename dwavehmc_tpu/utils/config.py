@@ -51,7 +51,8 @@ class RunConfig:
     eigh_mode: str = "exact"        # "exact" | "tracked" (real path only)
     tracked_iters: int = 6          # refinement rotations per leapfrog step
     anchor_every: int = 1           # exact-eigh anchor every K sweeps
-    refine_iters: int = 20          # endpoint refinement for cheap anchors
+    refine_iters: int = 12          # fast endpoint refinement (cheap anchors)
+    polish_iters: int = 6           # full-precision endpoint polish rotations
     # io
     out_dir: str = "runs/run"
     verbose: bool = True

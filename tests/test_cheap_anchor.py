@@ -61,3 +61,40 @@ def test_cheap_anchor_equilibrium_matches():
     tol = 4 * max(s1, s4) + 0.02
     assert abs(m1 - m4) < tol, (m1, m4, tol)
     assert abs(a1 - a4) < 0.3, (a1, a4)
+
+
+def test_cheap_anchor_bias_f32_midscale():
+    """f32 bias bound nearer production shape (12×12, batch 4,
+    anchor_every 10): paired cheap-vs-exact dH on identical proposals must
+    differ ≪ the O(1) Metropolis scale.  (The 16×16/batch-8 on-TPU version
+    runs via scripts/validate_cheap_anchor.py and is recorded in
+    examples/cheap_anchor_validation.json.)"""
+    from dwavehmc_tpu.parallel.ensemble import (
+        _tracked_accept_jit, _tracked_leapfrog_jit,
+    )
+
+    lat = LatticeSpec(12, 12)
+    params = make_params(t=1.0, tp=-0.35, mu=-1.08, W=1.0, n_imp=0.05,
+                         beta=10.0, J=0.8, mass=1.0, dtype=jnp.float32)
+    states = init_ensemble_real(lat, params, jax.random.PRNGKey(0), 4,
+                                dtype=jnp.float32, n_imp=0.05)
+    Nt = 6
+    dt = calc_optimal_dt(10.0, 0.8, 1.0, Nt)
+    states, _ = run_segment_tracked(lat, params, states, 4, 12,
+                                    calc_optimal_dt(10.0, 0.8, 1.0, 12),
+                                    False, None, None, 6)
+
+    max_err = 0.0
+    for _ in range(3):
+        prop = _tracked_leapfrog_jit(lat, params, states, Nt, dt, 6,
+                                     None, None, 20)
+        _, info_cheap, _ = _tracked_accept_jit(lat, params, states, prop,
+                                               False, None, True)
+        states, info_exact, _ = _tracked_accept_jit(lat, params, states,
+                                                    prop, False, None, False)
+        err = np.max(np.abs(np.asarray(info_cheap.dH, dtype=np.float64)
+                            - np.asarray(info_exact.dH, dtype=np.float64)))
+        max_err = max(max_err, float(err))
+    # Metropolis scale is O(1); a dH error of 0.05 shifts acceptance by
+    # < 5% in the worst case and ~0 on average (sign-symmetric residual)
+    assert max_err < 5e-2, max_err

@@ -94,3 +94,30 @@ def test_leapfrog_like_path_stays_warm():
         np.testing.assert_allclose(np.asarray(e), np.asarray(e_exact),
                                    atol=1e-6)
     assert n_fallback <= 2, n_fallback
+
+
+def test_cmm_three_mult_identities():
+    """The 3-multiplication (Karatsuba) fast path of cmm/cmm_dag must
+    equal the complex product exactly (f64) and the explicit-precision
+    4-mult path must agree with it."""
+    import numpy as np
+
+    from dwavehmc_tpu.ops.tracked_eigh import cmm, cmm_dag
+
+    rng = np.random.default_rng(0)
+    ar, ai, br, bi = (jnp.asarray(rng.standard_normal((33, 33)))
+                      for _ in range(4))
+    a = np.asarray(ar) + 1j * np.asarray(ai)
+    b = np.asarray(br) + 1j * np.asarray(bi)
+
+    r3, i3 = cmm(ar, ai, br, bi)                       # 3-mult fast path
+    np.testing.assert_allclose(np.asarray(r3) + 1j * np.asarray(i3),
+                               a @ b, rtol=1e-12, atol=1e-12)
+    r4, i4 = cmm(ar, ai, br, bi, precision="highest")  # 4-mult path
+    np.testing.assert_allclose(np.asarray(r3), np.asarray(r4), atol=1e-12)
+
+    r3, i3 = cmm_dag(ar, ai, br, bi)
+    np.testing.assert_allclose(np.asarray(r3) + 1j * np.asarray(i3),
+                               a.conj().T @ b, rtol=1e-12, atol=1e-12)
+    r4, i4 = cmm_dag(ar, ai, br, bi, precision="highest")
+    np.testing.assert_allclose(np.asarray(i3), np.asarray(i4), atol=1e-12)

@@ -49,3 +49,47 @@ def test_split_per_chain_dt():
                                       True, None, 0, 6)
     assert seg.accepted.shape == (2, 2)
     assert np.all(np.isfinite(np.asarray(seg.dH)))
+
+
+def test_block_runner_matches_per_sweep_cadence():
+    """The block-fused cheap-anchor runner (one program per K sweeps) must
+    reproduce the per-sweep dispatch loop exactly: cheap accepts at sweeps
+    1..K-1, exact anchor at sweep K."""
+    from dwavehmc_tpu.parallel.ensemble import (
+        _tracked_accept_jit, _tracked_leapfrog_jit,
+    )
+
+    params = make_params(W=0.5, n_imp=0.25, beta=10.0, J=1.0,
+                         dtype=jnp.float64)
+    states0 = init_ensemble_real(LAT, params, jax.random.PRNGKey(5), 2,
+                                 dtype=jnp.float64, n_imp=0.25)
+    Nt, K, n_sweeps = 3, 2, 4
+    dt = calc_optimal_dt(10.0, 1.0, 1.0, Nt)
+
+    s_blk, seg_blk = run_segment_tracked(states=states0, lat=LAT,
+                                         params=params, n_sweeps=n_sweeps,
+                                         Nt=Nt, dt=dt, tracked_iters=4,
+                                         anchor_every=K, refine_iters=8,
+                                         polish_iters=3)
+
+    # reference: explicit per-sweep loop with the same cadence
+    states = states0
+    accs, dHs = [], []
+    for i in range(n_sweeps):
+        anchored = (i + 1) % K == 0
+        prop = _tracked_leapfrog_jit(LAT, params, states, Nt, dt, 4,
+                                     None, None, 0 if anchored else 8,
+                                     0 if anchored else 3)
+        states, info, _ = _tracked_accept_jit(LAT, params, states, prop,
+                                              True, None, not anchored)
+        accs.append(np.asarray(info.accepted))
+        dHs.append(np.asarray(info.dH))
+
+    np.testing.assert_array_equal(np.asarray(seg_blk.accepted),
+                                  np.stack(accs))
+    np.testing.assert_allclose(np.asarray(seg_blk.dH), np.stack(dHs),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s_blk.delta_re),
+                               np.asarray(states.delta_re), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_blk.evals),
+                               np.asarray(states.evals), atol=1e-12)
