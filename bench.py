@@ -58,19 +58,23 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 
 def tracked_model_flops(L: int, Nt: int, batch: int, n_sweeps: int,
                         tracked_iters: int, anchor_every: int,
-                        refine_iters: int, polish_iters: int = 0) -> float:
+                        refine_iters: int, polish_iters: int = 0,
+                        ns_steps: int = 2) -> float:
     """Model FLOPs of the tracked-rotation matmul pipeline per segment
     (counts only the (2N)³ rotation matmuls — forces, eighs and VPU work
     excluded, so the resulting MFU slightly understates true utilization).
 
     Per tracked_step with the 3-mult complex algebra: project_T 6 + U·S 3
-    + 2×Newton–Schulz 12 = 21 matmuls of 2n³ flops (n = 2L²).  The
-    endpoint refinement rotations run the same fast path; only its final
-    eigenvalue readout (6 matmuls, 4-mult "highest") is slow-precision.
+    + ns_steps×Newton–Schulz 6·ns = (9+6·ns_steps) matmuls of 2n³ flops
+    (n = 2L²), with ``ns_steps`` applying to the in-trajectory rotations
+    only — the endpoint refine phase always re-unitarizes at ns=2
+    (21 matmuls/iter; Metropolis-grade basis), and the polish runs
+    4-mult "highest" precision (28/iter).
     """
     n = 2 * L * L
     mm = 2.0 * n**3
-    per_step = 21 * mm * tracked_iters
+    per_iter = 9 + 6 * ns_steps
+    per_step = per_iter * mm * tracked_iters
     cheap_extra = (21 * refine_iters + 28 * polish_iters) * mm
     n_anchor = (n_sweeps // anchor_every if anchor_every > 1 else n_sweeps)
     n_cheap = n_sweeps - n_anchor
@@ -209,11 +213,13 @@ def main():
         if path != "real":
             return seg_fn(lat, params, states, sweeps, Nt, dt, True, None)
         t_iters = int(os.environ.get("BENCH_TRACKED_ITERS", 6))
+        ns = int(os.environ.get("BENCH_NS_STEPS", 2))
         if mode == "tracked":
             # split runner: the target compiler faults when the exact
             # embedding eigh shares a program with the tracked matmul loop
             return run_segment_tracked(lat, params, states, sweeps, Nt, dt,
-                                       True, None, None, t_iters)
+                                       True, None, None, t_iters,
+                                       ns_steps=ns)
         if mode == "tracked_fast":
             # cheap anchors: exact eigh every 5th sweep; Metropolis uses the
             # refined+polished tracked endpoint spectrum in between
@@ -221,7 +227,7 @@ def main():
                 lat, params, states, sweeps, Nt, dt, True, None, None,
                 t_iters, int(os.environ.get("BENCH_ANCHOR_EVERY", 5)),
                 int(os.environ.get("BENCH_REFINE_ITERS", 12)),
-                int(os.environ.get("BENCH_POLISH_ITERS", 6)))
+                int(os.environ.get("BENCH_POLISH_ITERS", 6)), ns)
         return seg_fn(lat, params, states, sweeps, Nt, dt, True, None,
                       None, mode)
 
@@ -251,8 +257,9 @@ def main():
                        if mode == "tracked_fast" else 0)
             p_iters = (int(os.environ.get("BENCH_POLISH_ITERS", 6))
                        if mode == "tracked_fast" else 0)
-            flops = tracked_model_flops(L, Nt, batch, sweeps, t_iters,
-                                        a_every, r_iters, p_iters)
+            flops = tracked_model_flops(
+                L, Nt, batch, sweeps, t_iters, a_every, r_iters, p_iters,
+                int(os.environ.get("BENCH_NS_STEPS", 2)))
             out["model_tflops"] = round(flops / best / 1e12, 2)
             out["mfu_pct"] = round(100 * flops / best / 1e12
                                    / V5E_BF16_PEAK_TFLOPS, 2)

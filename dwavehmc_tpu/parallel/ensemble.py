@@ -179,14 +179,15 @@ def run_segment_real_jit(lat, params, states, n_sweeps, Nt, dt,
 # anchor + Metropolis + observables) as separate jits per sweep.  Dispatch
 # overhead is ~10 ms/call — noise against a multi-hundred-ms sweep.
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8, 9, 10))
 def _tracked_leapfrog_jit(lat, params, states, Nt, dt, tracked_iters,
                           params_axis=None, dt_axis=None, refine_iters=0,
-                          polish_iters=0):
+                          polish_iters=0, ns_steps=2):
     from ..sampler.hmc_real import tracked_leapfrog
 
     fn = lambda p, s, d: tracked_leapfrog(lat, p, s, Nt, d, tracked_iters,  # noqa: E731
-                                          refine_iters, polish_iters)
+                                          refine_iters, polish_iters,
+                                          ns_steps)
     return jax.vmap(fn, in_axes=(params_axis, 0, dt_axis))(
         params, states, jnp.asarray(dt))
 
@@ -208,10 +209,10 @@ def _tracked_accept_jit(lat, params, states, proposal, measure=True,
     return states, info, obs
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9, 10, 11, 12))
 def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
                        refine_iters, measure=True, params_axis=None,
-                       dt_axis=None, polish_iters=0):
+                       dt_axis=None, polish_iters=0, ns_steps=2):
     """``n_cheap`` cheap-anchor sweeps + the following (anchor) sweep's
     leapfrog, fused into ONE program — pure matmuls throughout (no eigh,
     so it is safe on the target compiler), cutting host dispatches from
@@ -230,7 +231,7 @@ def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
     def leapfrog_all(states, r_iters, p_iters):
         fn = lambda p, s, d: tracked_leapfrog(lat, p, s, Nt, d,  # noqa: E731
                                               tracked_iters, r_iters,
-                                              p_iters)
+                                              p_iters, ns_steps)
         return jax.vmap(fn, in_axes=(params_axis, 0, dt_axis))(
             params, states, dt_arr)
 
@@ -255,7 +256,7 @@ def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
 def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                         measure=True, params_axis=None, dt_axis=None,
                         tracked_iters=6, anchor_every=1, refine_iters=12,
-                        polish_iters=6):
+                        polish_iters=6, ns_steps=2):
     """Host-sequenced tracked segment; same interface/results shape as
     run_segment_real(eigh_mode="tracked") but crash-safe on the target
     compiler.
@@ -268,6 +269,10 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
     one fused matmul program + one anchor program (2 dispatches per K
     sweeps).  The final sweep of the segment is always exact-anchored so
     the carried eigenpairs (used by transport measurement) are exact.
+
+    ``ns_steps``: Newton–Schulz re-unitarization steps per tracked
+    rotation (see ops/tracked_eigh.tracked_step); 1 cuts the fast-path
+    matmul count per iteration from 21 to 15 at O(σ⁴) unitarity error.
     """
     accs, dHs, obss = [], [], []
 
@@ -281,7 +286,7 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
         for _ in range(n_sweeps):
             proposal = _tracked_leapfrog_jit(lat, params, states, Nt, dt,
                                              tracked_iters, params_axis,
-                                             dt_axis, 0)
+                                             dt_axis, 0, 0, ns_steps)
             states, info, obs = _tracked_accept_jit(lat, params, states,
                                                     proposal, measure,
                                                     params_axis, False)
@@ -294,7 +299,8 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
             k = min(anchor_every, n_sweeps - done)   # k-1 cheap + 1 anchored
             states, recs, proposal = _tracked_block_jit(
                 lat, params, states, k - 1, Nt, dt, tracked_iters,
-                refine_iters, measure, params_axis, dt_axis, polish_iters)
+                refine_iters, measure, params_axis, dt_axis, polish_iters,
+                ns_steps)
             if recs is not None:
                 record(*recs)
             states, info, obs = _tracked_accept_jit(lat, params, states,

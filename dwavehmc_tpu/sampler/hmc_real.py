@@ -96,7 +96,7 @@ def _finite_or_zero(x):
 def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
                      state: HMCStateReal, Nt: int, dt,
                      tracked_iters: int = 6, refine_iters: int = 0,
-                     polish_iters: int = 6):
+                     polish_iters: int = 6, ns_steps: int = 2):
     """Phase 1 of the split tracked sweep: momentum refresh + fully tracked
     leapfrog (no exact eigh anywhere — the target TPU compiler faults when
     the embedding eigh and the tracked matmul loop share one program).
@@ -144,7 +144,8 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
         dim_ = _finite_or_zero(dim_ + coef * pim)
         hr, hi = assemble_parts(lat, Hs_real, dre, dim_)
         e, X, Y, res = tracked_eigh_nofallback(hr, hi, X, Y,
-                                               n_iter=tracked_iters)
+                                               n_iter=tracked_iters,
+                                               ns_steps=ns_steps)
         Fr, Fi, _, _ = hmc_forces_real(lat, dre, dim_, e, X, Y, beta, J)
         pre = pre + dt * Fr
         pim = pim + dt * Fi
@@ -163,7 +164,14 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
                                 _finite_or_zero(dre), _finite_or_zero(dim_))
         if refine_iters > 0:
             # phase 1: fast rotations to the bf16 noise floor (readout
-            # precision only matters when no polish follows)
+            # precision only matters when no polish follows).  Endpoint
+            # phases keep the conservative ns=2 re-unitarization: the
+            # Metropolis spectrum is read from this basis, and measured
+            # on-TPU ns=1 here collapses cheap-anchor acceptance
+            # (0.88 → 0.51 at 16×16/b8) even with the highest-precision
+            # polish following — the configurable ``ns_steps`` applies to
+            # the in-trajectory rotations only, where exact anchors show
+            # trajectory quality is unaffected.
             e_f, X_f, Y_f, res_end = tracked_eigh_nofallback(
                 hr, hi, X_f, Y_f, n_iter=refine_iters,
                 eval_precision="highest" if polish_iters == 0 else None)
