@@ -14,7 +14,13 @@ modern many-core CPU, ×Nt=6 per trajectory plus O(N²) forces ⇒ ≈ 7
 trajectories/sec.  (Documented estimate, not a measured number.)
 
 Env knobs: BENCH_BATCH (default 8), BENCH_L (16), BENCH_NT (6),
-BENCH_SWEEPS (5), BENCH_REPS (3), BENCH_SKIP_EIGH (0).
+BENCH_SWEEPS (20), BENCH_REPS (3), BENCH_SKIP_EIGH (0),
+BENCH_ANCHOR_EVERY (10), BENCH_ROT_DTYPE (bfloat16|float32).
+
+Defaults are the VALIDATED production config (bf16 in-trajectory
+rotations + exact anchors every 10 sweeps): bias measured on-TPU at
+max|dH_cheap−dH_exact| = 1.2e-3, equilibrium shift < 3e-4·SEM
+(examples/cheap_anchor_validation_bf16.json).
 """
 
 import json
@@ -89,7 +95,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 8))
     L = int(os.environ.get("BENCH_L", 16))
     Nt = int(os.environ.get("BENCH_NT", 6))
-    sweeps = int(os.environ.get("BENCH_SWEEPS", 5))
+    sweeps = int(os.environ.get("BENCH_SWEEPS", 20))
     reps = int(os.environ.get("BENCH_REPS", 3))
     # "real" = complex-free real-symmetric-embedding path (TPU production —
     # the axon runtime executes real dtypes only); "complex" = c64 path.
@@ -214,20 +220,23 @@ def main():
             return seg_fn(lat, params, states, sweeps, Nt, dt, True, None)
         t_iters = int(os.environ.get("BENCH_TRACKED_ITERS", 6))
         ns = int(os.environ.get("BENCH_NS_STEPS", 2))
+        # BENCH_ROT_DTYPE=bfloat16: bf16-storage in-trajectory rotations
+        rot = (jnp.bfloat16
+               if os.environ.get("BENCH_ROT_DTYPE", "bfloat16") == "bfloat16" else None)
         if mode == "tracked":
             # split runner: the target compiler faults when the exact
             # embedding eigh shares a program with the tracked matmul loop
             return run_segment_tracked(lat, params, states, sweeps, Nt, dt,
                                        True, None, None, t_iters,
-                                       ns_steps=ns)
+                                       ns_steps=ns, rot_dtype=rot)
         if mode == "tracked_fast":
             # cheap anchors: exact eigh every 5th sweep; Metropolis uses the
             # refined+polished tracked endpoint spectrum in between
             return run_segment_tracked(
                 lat, params, states, sweeps, Nt, dt, True, None, None,
-                t_iters, int(os.environ.get("BENCH_ANCHOR_EVERY", 5)),
+                t_iters, int(os.environ.get("BENCH_ANCHOR_EVERY", 10)),
                 int(os.environ.get("BENCH_REFINE_ITERS", 12)),
-                int(os.environ.get("BENCH_POLISH_ITERS", 6)), ns)
+                int(os.environ.get("BENCH_POLISH_ITERS", 6)), ns, rot)
         return seg_fn(lat, params, states, sweeps, Nt, dt, True, None,
                       None, mode)
 
@@ -251,7 +260,7 @@ def main():
         }
         if mode.startswith("tracked"):
             t_iters = int(os.environ.get("BENCH_TRACKED_ITERS", 6))
-            a_every = (int(os.environ.get("BENCH_ANCHOR_EVERY", 5))
+            a_every = (int(os.environ.get("BENCH_ANCHOR_EVERY", 10))
                        if mode == "tracked_fast" else 1)
             r_iters = (int(os.environ.get("BENCH_REFINE_ITERS", 12))
                        if mode == "tracked_fast" else 0)

@@ -118,7 +118,8 @@ def _project_T(hr, hi, ur, ui, precision=None):
     return tr, ti, d, jnp.max(off)
 
 
-def tracked_step(hr, hi, ur, ui, parity=0, precision=None, ns_steps=2):
+def tracked_step(hr, hi, ur, ui, parity=0, precision=None, ns_steps=2,
+                 rot_dtype=None):
     """One refinement iteration: rotate toward the eigenbasis.
 
     Rotation angles come from the exact 2×2 Jacobi formula
@@ -136,9 +137,27 @@ def tracked_step(hr, hi, ur, ui, parity=0, precision=None, ns_steps=2):
     degrades the cheap-anchor Metropolis spectrum enough to collapse
     acceptance 0.88 → 0.58 even with an ns=2 endpoint refine+polish —
     so 2 stays the default; the knob is kept for larger-L experiments.
+
+    ``rot_dtype`` (e.g. ``jnp.bfloat16``): storage dtype for the matmul
+    operands — measured in-program at (64,1152,1152), bf16 matmuls run
+    1.44× faster than f32-default (89 vs 62 TF/s; the chip's achievable
+    rate at this shape, not the nominal 197 peak).  The S-matrix
+    construction (gaps, angles, phases) stays in the carry dtype: the
+    level gaps (~1e-2) sit below bf16 resolution of the eigenvalues
+    (~5·2⁻⁸ ≈ 2e-2), so the elementwise math would otherwise lose the
+    rotation targeting entirely.  The basis floor becomes the bf16
+    epsilon — callers that feed Metropolis must re-polish in f32.
     """
     del parity
+    if rot_dtype is not None:
+        # operands (incl. the loop carry — cast once by the caller) stay
+        # in rot_dtype; only the S construction below runs in f32
+        hr, hi = hr.astype(rot_dtype), hi.astype(rot_dtype)
+        ur, ui = ur.astype(rot_dtype), ui.astype(rot_dtype)
     tr, ti, d, _ = _project_T(hr, hi, ur, ui, precision)
+    if rot_dtype is not None:
+        tr, ti = tr.astype(jnp.float32), ti.astype(jnp.float32)
+        d = d.astype(jnp.float32)
 
     n = d.shape[0]
     gap = d[None, :] - d[:, None]
@@ -159,6 +178,8 @@ def tracked_step(hr, hi, ur, ui, parity=0, precision=None, ns_steps=2):
     sr = sr * alpha
     si = si * alpha
 
+    if rot_dtype is not None:
+        sr, si = sr.astype(rot_dtype), si.astype(rot_dtype)
     vr, vi = cmm(ur, ui, sr, si, precision)          # U S
     ur, ui = ur + vr, ui + vi
     for _ in range(ns_steps):
@@ -183,7 +204,7 @@ def full_eigh_from_parts(hr, hi):
 
 def tracked_eigh_nofallback(hr, hi, ur0, ui0, *, n_iter: int = 6,
                             precision=None, eval_precision=None,
-                            ns_steps: int = 2):
+                            ns_steps: int = 2, rot_dtype=None):
     """Refinement only — no exact-eigh fallback.  For use under vmap, where
     ``lax.cond`` degrades to select (both branches would execute for every
     batch element).  Returns (evals ascending, Ur, Ui, offdiag residual);
@@ -202,13 +223,25 @@ def tracked_eigh_nofallback(hr, hi, ur0, ui0, *, n_iter: int = 6,
     sorted: every downstream use during a trajectory (Fermi factors,
     forces, masked observables) is order-independent, and the per-sweep
     exact re-anchor restores sorted order for the Metropolis energy
-    difference."""
+    difference.
+
+    ``rot_dtype``: run the rotation matmuls with bf16 storage (see
+    tracked_step) — the loop carry is cast once here, and the returned
+    basis/readout are cast back to the input dtype.  The basis floor is
+    then the bf16 epsilon; downstream Metropolis use requires an f32
+    re-polish (callers: sampler/hmc_real.tracked_leapfrog keeps the
+    endpoint refine+polish phases in f32)."""
 
     def body(_k, uv):
         return tracked_step(hr, hi, *uv, precision=precision,
-                            ns_steps=ns_steps)
+                            ns_steps=ns_steps, rot_dtype=rot_dtype)
 
+    cdt = ur0.dtype
+    if rot_dtype is not None:
+        ur0, ui0 = ur0.astype(rot_dtype), ui0.astype(rot_dtype)
     ur, ui = lax.fori_loop(0, n_iter, body, (ur0, ui0))
+    if rot_dtype is not None:
+        ur, ui = ur.astype(cdt), ui.astype(cdt)
     _, _, d, res = _project_T(hr, hi, ur, ui,
                               precision if eval_precision is None
                               else eval_precision)

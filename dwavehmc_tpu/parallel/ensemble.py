@@ -179,15 +179,15 @@ def run_segment_real_jit(lat, params, states, n_sweeps, Nt, dt,
 # anchor + Metropolis + observables) as separate jits per sweep.  Dispatch
 # overhead is ~10 ms/call — noise against a multi-hundred-ms sweep.
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8, 9, 10, 11))
 def _tracked_leapfrog_jit(lat, params, states, Nt, dt, tracked_iters,
                           params_axis=None, dt_axis=None, refine_iters=0,
-                          polish_iters=0, ns_steps=2):
+                          polish_iters=0, ns_steps=2, rot_dtype=None):
     from ..sampler.hmc_real import tracked_leapfrog
 
     fn = lambda p, s, d: tracked_leapfrog(lat, p, s, Nt, d, tracked_iters,  # noqa: E731
                                           refine_iters, polish_iters,
-                                          ns_steps)
+                                          ns_steps, rot_dtype)
     return jax.vmap(fn, in_axes=(params_axis, 0, dt_axis))(
         params, states, jnp.asarray(dt))
 
@@ -209,19 +209,29 @@ def _tracked_accept_jit(lat, params, states, proposal, measure=True,
     return states, info, obs
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.jit,
+                   static_argnums=(0, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14))
 def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
                        refine_iters, measure=True, params_axis=None,
-                       dt_axis=None, polish_iters=0, ns_steps=2):
-    """``n_cheap`` cheap-anchor sweeps + the following (anchor) sweep's
-    leapfrog, fused into ONE program — pure matmuls throughout (no eigh,
-    so it is safe on the target compiler), cutting host dispatches from
-    2 per sweep to 2 per ``anchor_every`` sweeps.  The tunnel's per-call
-    dispatch cost is ~30 ms, comparable to a whole cheap sweep's compute,
-    so this fusion roughly doubles tracked_fast throughput at 16×16.
+                       dt_axis=None, polish_iters=0, ns_steps=2,
+                       rot_dtype=None, final_leapfrog=True):
+    """``n_cheap`` cheap-anchor sweeps + (when ``final_leapfrog``) the
+    following (anchor) sweep's leapfrog, fused into ONE program — pure
+    matmuls throughout (no eigh, so it is safe on the target compiler),
+    cutting host dispatches from 2 per sweep to 2 per ``anchor_every``
+    sweeps.  The tunnel's per-call dispatch cost is ~30 ms, comparable to
+    a whole cheap sweep's compute, so this fusion roughly doubles
+    tracked_fast throughput at 16×16.
+
+    ``final_leapfrog=False`` ends the program after the cheap sweeps
+    (proposal is None) — used to chunk long anchor intervals into
+    multiple bounded programs: a single program that RUNS too long
+    (~90 s at 24×24/b64, i.e. ≳16 fused sweeps) trips the remote
+    worker's execution watchdog and crashes it, even though the scan
+    keeps the compiled program itself small.
 
     Returns (states after the cheap sweeps, per-sweep records or None,
-    proposal for the anchor sweep to feed _tracked_accept_jit).
+    proposal for the anchor sweep to feed _tracked_accept_jit or None).
     """
     from ..models.observables_real import measure_observables_real
     from ..sampler.hmc_real import tracked_accept_cheap, tracked_leapfrog
@@ -231,7 +241,7 @@ def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
     def leapfrog_all(states, r_iters, p_iters):
         fn = lambda p, s, d: tracked_leapfrog(lat, p, s, Nt, d,  # noqa: E731
                                               tracked_iters, r_iters,
-                                              p_iters, ns_steps)
+                                              p_iters, ns_steps, rot_dtype)
         return jax.vmap(fn, in_axes=(params_axis, 0, dt_axis))(
             params, states, dt_arr)
 
@@ -249,6 +259,8 @@ def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
     recs = None
     if n_cheap > 0:
         states, recs = lax.scan(sweep, states, None, length=n_cheap)
+    if not final_leapfrog:
+        return states, recs, None
     proposal = leapfrog_all(states, 0, 0)   # anchor sweep: exact eigh follows
     return states, recs, proposal
 
@@ -256,7 +268,8 @@ def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
 def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                         measure=True, params_axis=None, dt_axis=None,
                         tracked_iters=6, anchor_every=1, refine_iters=12,
-                        polish_iters=6, ns_steps=2):
+                        polish_iters=6, ns_steps=2, rot_dtype=None,
+                        max_fused=8):
     """Host-sequenced tracked segment; same interface/results shape as
     run_segment_real(eigh_mode="tracked") but crash-safe on the target
     compiler.
@@ -273,6 +286,16 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
     ``ns_steps``: Newton–Schulz re-unitarization steps per tracked
     rotation (see ops/tracked_eigh.tracked_step); 1 cuts the fast-path
     matmul count per iteration from 21 to 15 at O(σ⁴) unitarity error.
+
+    ``rot_dtype`` (e.g. ``jnp.bfloat16``): storage dtype of the
+    in-trajectory rotation matmuls (1.44× the f32 MXU rate measured at
+    24×24/b64); endpoint refine+polish stay f32 for Metropolis accuracy.
+
+    ``max_fused``: cap on cheap sweeps fused into one device program.
+    Anchor intervals longer than this are split into several bounded
+    programs (no anchor between them) — a single program running ≳90 s
+    trips the remote worker's execution watchdog (observed: a 19-sweep
+    fused block at 24×24/b64 crashed the worker; ≤9 is safe).
     """
     accs, dHs, obss = [], [], []
 
@@ -286,7 +309,8 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
         for _ in range(n_sweeps):
             proposal = _tracked_leapfrog_jit(lat, params, states, Nt, dt,
                                              tracked_iters, params_axis,
-                                             dt_axis, 0, 0, ns_steps)
+                                             dt_axis, 0, 0, ns_steps,
+                                             rot_dtype)
             states, info, obs = _tracked_accept_jit(lat, params, states,
                                                     proposal, measure,
                                                     params_axis, False)
@@ -297,10 +321,21 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
         done = 0
         while done < n_sweeps:
             k = min(anchor_every, n_sweeps - done)   # k-1 cheap + 1 anchored
+            n_cheap = k - 1
+            # chunk long anchor intervals into watchdog-safe programs
+            while n_cheap > max_fused:
+                c = min(max_fused, n_cheap - 1)      # keep ≥1 for the final
+                states, recs, _ = _tracked_block_jit(
+                    lat, params, states, c, Nt, dt, tracked_iters,
+                    refine_iters, measure, params_axis, dt_axis,
+                    polish_iters, ns_steps, rot_dtype, False)
+                if recs is not None:
+                    record(*recs)
+                n_cheap -= c
             states, recs, proposal = _tracked_block_jit(
-                lat, params, states, k - 1, Nt, dt, tracked_iters,
+                lat, params, states, n_cheap, Nt, dt, tracked_iters,
                 refine_iters, measure, params_axis, dt_axis, polish_iters,
-                ns_steps)
+                ns_steps, rot_dtype)
             if recs is not None:
                 record(*recs)
             states, info, obs = _tracked_accept_jit(lat, params, states,

@@ -96,7 +96,8 @@ def _finite_or_zero(x):
 def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
                      state: HMCStateReal, Nt: int, dt,
                      tracked_iters: int = 6, refine_iters: int = 0,
-                     polish_iters: int = 6, ns_steps: int = 2):
+                     polish_iters: int = 6, ns_steps: int = 2,
+                     rot_dtype=None):
     """Phase 1 of the split tracked sweep: momentum refresh + fully tracked
     leapfrog (no exact eigh anywhere — the target TPU compiler faults when
     the embedding eigh and the tracked matmul loop share one program).
@@ -145,7 +146,8 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
         hr, hi = assemble_parts(lat, Hs_real, dre, dim_)
         e, X, Y, res = tracked_eigh_nofallback(hr, hi, X, Y,
                                                n_iter=tracked_iters,
-                                               ns_steps=ns_steps)
+                                               ns_steps=ns_steps,
+                                               rot_dtype=rot_dtype)
         Fr, Fi, _, _ = hmc_forces_real(lat, dre, dim_, e, X, Y, beta, J)
         pre = pre + dt * Fr
         pim = pim + dt * Fi

@@ -22,12 +22,20 @@ import numpy as np
 
 
 def timeit(fn, *args, reps=5):
-    out = fn(*args)
-    _ = np.asarray(jax.tree.leaves(out)[0])   # compile + true sync
+    """Times ``jit(sum-reduced fn)``: every output leaf is reduced to a
+    scalar INSIDE the program, so the device→host sync transfers a few
+    bytes.  (Syncing on the raw output instead measures tunnel transfer
+    time on this remote backend — a (64,2304,2304) f32 output is 1.3 GB
+    and dominated the apparent cost of every large-output variant.)"""
+    import jax.numpy as jnp
+
+    red = jax.jit(lambda *a: [jnp.sum(x) for x in jax.tree.leaves(fn(*a))])
+    out = red(*args)
+    _ = np.asarray(out[0])                    # compile + true sync
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    _ = np.asarray(jax.tree.leaves(out)[0])
+        out = red(*args)
+    _ = np.asarray(out[0])
     return (time.perf_counter() - t0) / reps
 
 
@@ -102,6 +110,28 @@ def main():
                jax.jit(jax.vmap(lambda h, d: jnp.linalg.eigh(
                    assemble_bdg(lat, h, d))[0])),
                Hs, delta_c)
+
+    # raw 3-mult complex matmul — the MXU workhorse of the tracked step
+    # (one tracked_step iteration = 7 cmm's = 21 real matmuls); comparing
+    # 7×cmm against "tracked refine n_iter=1" isolates the elementwise
+    # (VPU) overhead of the rotation-angle construction.
+    from dwavehmc_tpu.ops.tracked_eigh import cmm
+
+    def raw_cmm(X, Y):
+        ar, ai = cmm(X, Y, X, Y)
+        return ar + ai
+
+    t_cmm = None
+    try:
+        t_cmm = timeit(jax.jit(jax.vmap(raw_cmm)), states.X, states.Y,
+                       reps=ns.reps)
+        n = lat.dim
+        tf = 3 * 2.0 * n**3 * b / t_cmm / 1e12
+        print(f"{'raw cmm (3 real matmuls)':34s}: {t_cmm*1e3:9.2f} ms "
+              f"({tf:.1f} TFLOP/s)")
+    except Exception as e:  # noqa: BLE001
+        print(f"{'raw cmm (3 real matmuls)':34s}: FAILED "
+              f"{type(e).__name__}: {str(e)[:60]}")
 
     for it in (1, 4, 8):
         report(f"tracked refine n_iter={it}",

@@ -49,6 +49,8 @@ def main():
     p.add_argument("--tracked_iters", type=int, default=6)
     p.add_argument("--refine_iters", type=int, default=12)
     p.add_argument("--polish_iters", type=int, default=6)
+    p.add_argument("--rot_dtype", default=None, choices=(None, "bfloat16"),
+                   help="storage dtype of the in-trajectory rotations")
     p.add_argument("--therm", type=int, default=10)
     p.add_argument("--paired", type=int, default=10,
                    help="number of paired cheap-vs-exact dH comparisons")
@@ -77,9 +79,10 @@ def main():
     params = make_params(t=1.0, tp=-0.35, mu=-1.08, W=1.0, n_imp=0.05,
                          beta=ns.beta, J=ns.J, mass=1.0, dtype=jnp.float32)
     dt = calc_optimal_dt(ns.beta, ns.J, 1.0, ns.Nt)
+    rot = jnp.bfloat16 if ns.rot_dtype == "bfloat16" else None
     log(f"device={jax.devices()[0]} L={ns.L} batch={ns.batch} "
         f"anchor_every={ns.anchor_every} refine_iters={ns.refine_iters} "
-        f"polish_iters={ns.polish_iters}")
+        f"polish_iters={ns.polish_iters} rot_dtype={ns.rot_dtype}")
 
     states = init_ensemble_real(lat, params, jax.random.PRNGKey(0),
                                 ns.batch, dtype=jnp.float32, n_imp=0.05)
@@ -96,7 +99,8 @@ def main():
     for i in range(ns.paired):
         prop = _tracked_leapfrog_jit(lat, params, states_c, ns.Nt, dt,
                                      ns.tracked_iters, None, None,
-                                     ns.refine_iters, ns.polish_iters)
+                                     ns.refine_iters, ns.polish_iters,
+                                     2, rot)
         _, info_cheap, _ = _tracked_accept_jit(lat, params, states_c, prop,
                                                False, None, True)
         states_c, info_exact, _ = _tracked_accept_jit(lat, params, states_c,
@@ -124,7 +128,7 @@ def main():
         st, seg = run_segment_tracked(lat, params, st, ns.sweeps, ns.Nt, dt,
                                       True, None, None, ns.tracked_iters,
                                       anchor_every, ns.refine_iters,
-                                      ns.polish_iters)
+                                      ns.polish_iters, 2, rot)
         wall = time.time() - t0
         o = seg.observables
         half = ns.sweeps // 2
@@ -158,7 +162,7 @@ def main():
         "config": {k: getattr(ns, k) for k in
                    ("L", "batch", "beta", "J", "Nt", "anchor_every",
                     "tracked_iters", "refine_iters", "polish_iters", "therm", "paired",
-                    "sweeps")},
+                    "sweeps", "rot_dtype")},
         "device": str(jax.devices()[0]),
         "paired_dH": {
             "max_abs_err": float(dh_err.max()),

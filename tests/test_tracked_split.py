@@ -93,3 +93,54 @@ def test_block_runner_matches_per_sweep_cadence():
                                np.asarray(states.delta_re), atol=1e-12)
     np.testing.assert_allclose(np.asarray(s_blk.evals),
                                np.asarray(states.evals), atol=1e-12)
+
+
+def test_chunked_blocks_match_single_block():
+    """Splitting a long anchor interval into several bounded programs
+    (max_fused) must reproduce the single-block run exactly: the chunk
+    boundary adds no physics — only a program boundary.  (Long single
+    programs trip the remote worker's execution watchdog at production
+    shapes, so the production path always chunks.)"""
+    params = make_params(W=0.5, n_imp=0.25, beta=10.0, J=1.0,
+                         dtype=jnp.float64)
+    states0 = init_ensemble_real(LAT, params, jax.random.PRNGKey(7), 2,
+                                 dtype=jnp.float64, n_imp=0.25)
+    Nt, n_sweeps = 3, 7
+    dt = calc_optimal_dt(10.0, 1.0, 1.0, Nt)
+
+    kw = dict(measure=True, params_axis=None, dt_axis=None,
+              tracked_iters=4, anchor_every=7, refine_iters=8,
+              polish_iters=3)
+    s_one, seg_one = run_segment_tracked(LAT, params, states0, n_sweeps,
+                                         Nt, dt, max_fused=8, **kw)
+    s_chk, seg_chk = run_segment_tracked(LAT, params, states0, n_sweeps,
+                                         Nt, dt, max_fused=2, **kw)
+
+    np.testing.assert_array_equal(np.asarray(seg_one.accepted),
+                                  np.asarray(seg_chk.accepted))
+    np.testing.assert_allclose(np.asarray(seg_one.dH),
+                               np.asarray(seg_chk.dH),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s_one.delta_re),
+                               np.asarray(s_chk.delta_re), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_one.evals),
+                               np.asarray(s_chk.evals), atol=1e-12)
+
+
+def test_bf16_rotation_dtype_runs_and_stays_finite():
+    """bf16-storage rotations (rot_dtype) must run end-to-end with finite
+    dH and a basis cast back to the carry dtype; on CPU f32 the physics
+    should stay close to the f32 path (bf16 floors only bind on-TPU)."""
+    params = make_params(W=0.5, n_imp=0.25, beta=10.0, J=1.0,
+                         dtype=jnp.float32)
+    states0 = init_ensemble_real(LAT, params, jax.random.PRNGKey(9), 2,
+                                 dtype=jnp.float32, n_imp=0.25)
+    Nt = 3
+    dt = calc_optimal_dt(10.0, 1.0, 1.0, Nt)
+    s, seg = run_segment_tracked(LAT, params, states0, 4, Nt, dt,
+                                 True, None, None, 6, 2, 8, 3, 2,
+                                 jnp.bfloat16)
+    assert s.delta_re.dtype == jnp.float32
+    assert s.evals.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(seg.dH)))
+    assert np.asarray(seg.accepted).shape == (4, 2)
