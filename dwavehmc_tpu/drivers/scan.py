@@ -170,7 +170,8 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                                            pa, da, cfg.tracked_iters,
                                            cfg.anchor_every,
                                            cfg.refine_iters,
-                                           cfg.polish_iters)
+                                           cfg.polish_iters, 2,
+                                           cfg.rot_jax_dtype())
         else:
             def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da):
                 return run_segment_real_jit(lt, p, s, n, Nt, dt, measure,

@@ -85,7 +85,8 @@ def run_simulation(cfg: RunConfig) -> dict:
                                            pa, None, cfg.tracked_iters,
                                            cfg.anchor_every,
                                            cfg.refine_iters,
-                                           cfg.polish_iters)
+                                           cfg.polish_iters, 2,
+                                           cfg.rot_jax_dtype())
         else:
             def seg_fn(lt, p, s, n, Nt, dt, measure, pa):
                 return run_segment_real_jit(lt, p, s, n, Nt, dt, measure,

@@ -53,6 +53,10 @@ class RunConfig:
     anchor_every: int = 1           # exact-eigh anchor every K sweeps
     refine_iters: int = 12          # fast endpoint refinement (cheap anchors)
     polish_iters: int = 6           # full-precision endpoint polish rotations
+    rot_dtype: str = "float32"      # "float32" | "bfloat16": storage dtype of
+    #                                 in-trajectory tracked rotations (bf16 is
+    #                                 ~1.2x faster at 24x24/b64, bias-validated;
+    #                                 endpoint refine/polish always f32)
     # io
     out_dir: str = "runs/run"
     verbose: bool = True
@@ -75,6 +79,10 @@ class RunConfig:
 
     def jax_dtype(self):
         return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+    def rot_jax_dtype(self):
+        """None (= carry dtype) unless bf16 rotations are requested."""
+        return jnp.bfloat16 if self.rot_dtype == "bfloat16" else None
 
     def resolved_path(self) -> str:
         """"real" (complex-free) on TPU, "complex" elsewhere, unless forced.
