@@ -136,8 +136,17 @@ def _csv_stats(path: str, skip_cols=("Sweep", "Chain", "Accepted")) -> dict:
         if c == "Accepted":
             out["AccRate"] = vals.mean()
             continue
-        out[f"{c}_mean"] = vals.mean()
+        # dH can legitimately be ±inf/nan on strongly rejected proposals
+        # (e.g. f32 overflow on a cold-start trajectory — the state is
+        # guarded, only the recorded diagnostic blows up); aggregate over
+        # the finite entries and surface the count instead of poisoning
+        # the whole column mean.
+        finite = np.isfinite(vals)
+        if not finite.all():
+            out[f"{c}_nonfinite"] = int((~finite).sum())
+            vals = vals[finite]
         n = len(vals)
+        out[f"{c}_mean"] = vals.mean() if n else float("nan")
         out[f"{c}_sem"] = vals.std(ddof=1) / np.sqrt(n) if n > 1 else 0.0
     return out
 
@@ -164,7 +173,12 @@ def summarize_scan(scan_root: str, prefix: str, value_name: str = "T"
 
     out_path = os.path.join(scan_root, "summary_all.csv")
     if rows:
+        # union of keys over all points (e.g. *_nonfinite columns appear
+        # only where a point had non-finite diagnostics), first-row order
+        # first, extras appended
         keys = [value_name] + [k for k in rows[0] if k != value_name]
+        for r in rows[1:]:
+            keys += [k for k in r if k not in keys]
         with open(out_path, "w") as f:
             f.write(",".join(keys) + "\n")
             for r in rows:
