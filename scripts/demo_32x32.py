@@ -76,13 +76,18 @@ def main():
     t_init = time.perf_counter() - t0
     log(f"init+first exact eigh (dim {2 * lat.dim}): {t_init:.1f}s")
 
+    # validated production numerics: bf16 in-trajectory rotations
+    # (bias revalidated in examples/cheap_anchor_validation_bf16.json)
+    rot = jnp.bfloat16 if os.environ.get(
+        "DEMO_ROT_DTYPE", "bfloat16") == "bfloat16" else None
+
     # thermalize with the tracked runner (not timed for the headline)
     Nt_th = 20
     dt_th = calc_optimal_dt(beta, J, mass, Nt_th)
     t0 = time.perf_counter()
     states, seg = run_segment_tracked(lat, params, states, n_therm, Nt_th,
                                       dt_th, False, None, None, 6,
-                                      anchor_every, 12, 6)
+                                      anchor_every, 12, 6, 2, rot)
     acc_th = float(np.mean(np.asarray(seg.accepted)))
     t_therm = time.perf_counter() - t0
     log(f"therm ({n_therm} sweeps, Nt={Nt_th}): {t_therm:.1f}s acc={acc_th:.2f}")
@@ -92,7 +97,7 @@ def main():
     t0 = time.perf_counter()
     states, seg = run_segment_tracked(lat, params, states, sweeps, Nt, dt,
                                       True, None, None, 6, anchor_every,
-                                      12, 6)
+                                      12, 6, 2, rot)
     acc = np.asarray(seg.accepted)
     t_first = time.perf_counter() - t0
     log(f"measure segment compile+run: {t_first:.1f}s "
@@ -100,7 +105,7 @@ def main():
     t0 = time.perf_counter()
     states, seg = run_segment_tracked(lat, params, states, sweeps, Nt, dt,
                                       True, None, None, 6, anchor_every,
-                                      12, 6)
+                                      12, 6, 2, rot)
     acc = np.asarray(seg.accepted)
     t_meas = time.perf_counter() - t0
     traj_per_sec = batch * sweeps / t_meas
