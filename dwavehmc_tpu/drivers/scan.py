@@ -198,12 +198,37 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     dts = dt0.copy()
     window = 5
     done = 0
+    escalated = False
     while done < cfg.n_therm:
         n = min(window, cfg.n_therm - done)
         states, seg = seg_fn(lat, params, states, n, Nt_th,
                              jnp.asarray(dts, dtype=dtype), False, 0, 0)
         done += n
         acc_chain = np.asarray(seg.accepted).mean(axis=0)   # (n_run,)
+        # One-shot global Nt escalation after the probe window: the
+        # reference's controller raises Nt per point whenever window
+        # acceptance < 0.60 (src/Simulation.jl:116-120); under one
+        # vmapped ensemble Nt is a static shape, so we escalate the
+        # WHOLE ensemble once to the worst chain's need (over-
+        # integration on easy chains costs compute, not correctness)
+        # and recompute each chain's dt from the harmonic heuristic so
+        # trajectory lengths are preserved.  Single extra compile.
+        if cfg.Nt_escalate and not escalated:
+            escalated = True
+            need = np.where(acc_chain < 0.30, 2.0,
+                            np.where(acc_chain < 0.60, 1.5, 1.0))
+            Nt_new = int(np.ceil(Nt_th * float(need.max())))
+            if Nt_new > Nt_th:
+                log(f"Therm {done}/{cfg.n_therm}: min acc="
+                    f"{acc_chain.min():.2f} -> escalating ensemble Nt "
+                    f"{Nt_th} -> {Nt_new} (reference controller intent; "
+                    f"one recompile)")
+                Nt_th = Nt_new
+                dt0 = np.asarray([calc_optimal_dt(b, cfg.J, cfg.mass,
+                                                  Nt_th)
+                                  for b in beta_per_chain])
+                dts = dt0.copy()
+                continue
         new_dts = adapt_dts(dts, acc_chain, dt0)
         n_adj = int(np.sum(new_dts != dts))
         if n_adj:

@@ -57,6 +57,11 @@ class RunConfig:
     #                                 in-trajectory tracked rotations (bf16 is
     #                                 ~1.2x faster at 24x24/b64, bias-validated;
     #                                 endpoint refine/polish always f32)
+    Nt_escalate: bool = True        # vectorized scan: one-shot global Nt
+    #                                 escalation after the probe window when
+    #                                 the worst chain's acceptance < 0.60
+    #                                 (reference controller intent under a
+    #                                 single static-shape ensemble)
     # io
     out_dir: str = "runs/run"
     verbose: bool = True
