@@ -295,7 +295,11 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
     Anchor intervals longer than this are split into several bounded
     programs (no anchor between them) — a single program running ≳90 s
     trips the remote worker's execution watchdog (observed: a 19-sweep
-    fused block at 24×24/b64 crashed the worker; ≤9 is safe).
+    fused block at 24×24/b64 crashed the worker; ≤9 is safe).  Program
+    runtime scales with the leapfrog length, so the effective cap is
+    also bounded by ~48 total leapfrog steps per program (observed: a
+    4-sweep block at Nt=40, ≈160 steps, crashed the worker at the same
+    shape where 54 steps were safe).
     """
     accs, dHs, obss = [], [], []
 
@@ -318,6 +322,9 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                    None if not measure
                    else jax.tree.map(lambda x: x[None], obs))
     else:
+        # watchdog-safe chunk size: bounded in sweeps AND total leapfrog
+        # steps (long-Nt thermalization sweeps are proportionally slower)
+        max_fused = max(1, min(max_fused, 48 // max(1, Nt)))
         done = 0
         while done < n_sweeps:
             k = min(anchor_every, n_sweeps - done)   # k-1 cheap + 1 anchored
