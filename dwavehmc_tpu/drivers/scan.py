@@ -165,21 +165,36 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         if cfg.eigh_mode == "tracked":
             from ..parallel.ensemble import run_segment_tracked
 
-            def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da):
+            # Thermalization always anchors every sweep (exact Metropolis
+            # spectra): cheap-anchor dH error grows as residual²/gap, and
+            # far-from-equilibrium low-T chains have both large residuals
+            # and tiny gaps — measured: a β=50 cold start at 24×24 stalls
+            # at acceptance ~0.1 under K=10 cheap anchors at any Nt, but
+            # thermalizes normally under exact anchors.  The user-chosen
+            # cfg.anchor_every applies to measurement, where the bias
+            # bound was validated on equilibrated states.
+            def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da,
+                       anchor_every=None):
                 return run_segment_tracked(lt, p, s, n, Nt, dt, measure,
                                            pa, da, cfg.tracked_iters,
-                                           cfg.anchor_every,
+                                           anchor_every
+                                           if anchor_every is not None
+                                           else cfg.anchor_every,
                                            cfg.refine_iters,
                                            cfg.polish_iters, 2,
                                            cfg.rot_jax_dtype())
         else:
-            def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da):
+            def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da,
+                       anchor_every=None):
+                del anchor_every
                 return run_segment_real_jit(lt, p, s, n, Nt, dt, measure,
                                             pa, da, cfg.eigh_mode)
         init_fn = init_ensemble_real
         transport_fn = ensemble_transport_real_jit
     else:
-        seg_fn = run_segment_jit
+        def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da, anchor_every=None):
+            del anchor_every
+            return run_segment_jit(lt, p, s, n, Nt, dt, measure, pa, da)
         init_fn = init_ensemble
         transport_fn = ensemble_transport_jit
 
@@ -202,7 +217,8 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     while done < cfg.n_therm:
         n = min(window, cfg.n_therm - done)
         states, seg = seg_fn(lat, params, states, n, Nt_th,
-                             jnp.asarray(dts, dtype=dtype), False, 0, 0)
+                             jnp.asarray(dts, dtype=dtype), False, 0, 0,
+                             anchor_every=1)
         done += n
         acc_chain = np.asarray(seg.accepted).mean(axis=0)   # (n_run,)
         # One-shot global Nt escalation after the probe window: the
