@@ -121,6 +121,15 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     chain count is not a device multiple the ensemble is padded with
     throwaway chains so mesh sharding is never silently dropped.  Writes
     the same per-point directory layout as the serial scan.
+
+    Resume (``cfg.resume``): ``scan_checkpoint.npz`` under the scan root
+    holds the full ensemble state, the measurement sweep counter and the
+    learned per-chain dt; a resumed run skips thermalization, preserves
+    all CSV rows and spectra bins flushed up to the checkpoint, and
+    continues the measurement loop.  Spectra accumulated after the last
+    *completed* bin are not carried across the interruption — align
+    ``checkpoint_freq`` to ``bin_size × measure_transport_freq`` for a
+    loss-free resume.
     """
     out_root = out_root or cfg.out_dir
     os.makedirs(out_root, exist_ok=True)
@@ -199,8 +208,43 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         transport_fn = ensemble_transport_jit
 
     mesh = make_mesh() if (use_mesh and n_dev > 1) else None
-    states = init_fn(lat, base, jax.random.PRNGKey(cfg.seed), n_run,
-                     dtype=dtype, n_imp=cfg.n_imp)
+
+    # --- resume: restore ensemble + measurement progress -----------------
+    # (reference scans cannot resume at all — a crash loses the run,
+    # SURVEY §5; the checkpoint holds the full ensemble state + the
+    # learned per-chain measurement dt + the sweep counter)
+    ckpt_path = os.path.join(out_root, "scan_checkpoint.npz")
+    cfg_path = os.path.join(out_root, "scan_config.json")
+    n_done0 = 0
+    dt_m_saved = None
+    if cfg.resume and os.path.exists(ckpt_path):
+        import json as _json
+
+        from ..utils.checkpoint import load_checkpoint
+        ok = True
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                saved = _json.load(f)
+            for k, want in (("values", values.tolist()), ("replicas", C),
+                            ("Lx", cfg.Lx), ("Ly", cfg.Ly),
+                            ("scan_param", scan_param)):
+                if saved.get(k) != want:
+                    log(f"Resume: scan_config mismatch on '{k}' — "
+                        f"starting fresh.")
+                    ok = False
+                    break
+        if ok:
+            # base params suffice: rediagonalization needs only the
+            # shared scalars (t, tp, mu) + the per-chain disorder that
+            # lives in the checkpoint itself
+            states, n_done0, extra = load_checkpoint(ckpt_path, lat, base,
+                                                     state_path=path)
+            dt_m_saved = extra.get("dt_m")
+            log(f"Resumed scan at measurement sweep {n_done0} "
+                f"from {ckpt_path}.")
+    if n_done0 == 0:
+        states = init_fn(lat, base, jax.random.PRNGKey(cfg.seed), n_run,
+                         dtype=dtype, n_imp=cfg.n_imp)
     if mesh is not None:
         states = shard_ensemble(states, mesh)
 
@@ -212,7 +256,7 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_th) for b in beta_per_chain])
     dts = dt0.copy()
     window = 5
-    done = 0
+    done = 0 if n_done0 == 0 else cfg.n_therm   # resumed: already thermal
     escalated = False
     while done < cfg.n_therm:
         n = min(window, cfg.n_therm - done)
@@ -251,8 +295,9 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
             log(f"Therm {done}/{cfg.n_therm}: mean acc="
                 f"{acc_chain.mean():.2f}; adjusted dt on {n_adj} chain(s)")
         dts = new_dts
-    log(f"Thermalization done ({cfg.n_therm} sweeps, Nt={Nt_th}), "
-        f"mean acc={np.asarray(seg.accepted).mean():.2f}")
+    if n_done0 == 0:
+        log(f"Thermalization done ({cfg.n_therm} sweeps, Nt={Nt_th}), "
+            f"mean acc={np.asarray(seg.accepted).mean():.2f}")
 
     # --- measurement ----------------------------------------------------
     # carry the learned per-chain dt correction factor into the
@@ -260,10 +305,13 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     # harmonic heuristic; the factor preserves the per-point tuning)
     Nt_m = cfg.Nt_measure
     factor = dts / dt0
-    dt_m = jnp.asarray(
-        [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_m) * f
-         for b, f in zip(beta_per_chain, factor)],
-        dtype=dtype)
+    if dt_m_saved is not None:
+        dt_m = jnp.asarray(dt_m_saved, dtype=dtype)
+    else:
+        dt_m = jnp.asarray(
+            [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_m) * f
+             for b, f in zip(beta_per_chain, factor)],
+            dtype=dtype)
 
     # per-point output channels
     dirs, f_obs, f_trans, stores = [], [], [], []
@@ -275,19 +323,25 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
             "Sweep,Chain," + OBS_HEADER.split(",", 1)[1])
         header_t = TRANS_HEADER if C == 1 else (
             "Sweep,Chain," + TRANS_HEADER.split(",", 1)[1])
-        f_obs.append(CsvWriter(os.path.join(d, "observables.csv"), header_o))
-        f_trans.append(CsvWriter(os.path.join(d, "transport.csv"), header_t))
+        res_at = n_done0 if n_done0 > 0 else None
+        f_obs.append(CsvWriter(os.path.join(d, "observables.csv"), header_o,
+                               resume_at=res_at))
+        f_trans.append(CsvWriter(os.path.join(d, "transport.csv"), header_t,
+                                 resume_at=res_at))
         stores.append(SpectraBinStore(
             os.path.join(d, "spectra_bins.npz"), cfg.bin_size,
             meta={"omega_grid": spec.omega_grid(),
                   "dos_grid": spec.dos_grid(), "Lx": cfg.Lx, "Ly": cfg.Ly,
-                  scan_param: v, "eta": spec.eta, "n_chains": C}))
+                  scan_param: v, "eta": spec.eta, "n_chains": C},
+            resume_at=res_at))
     write_json(os.path.join(out_root, "scan_config.json"),
                {**cfg.to_dict(), "scan_param": scan_param,
                 "values": values.tolist(), "replicas": C})
 
+    from ..utils.checkpoint import save_checkpoint
+
     freq = max(1, cfg.measure_transport_freq)
-    n_done = 0
+    n_done = n_done0
     while n_done < cfg.n_measure:
         n = min(freq, cfg.n_measure - n_done)
         states, seg = seg_fn(lat, params, states, n, Nt_m, dt_m,
@@ -329,6 +383,10 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                 stores[g].add(n_done, {
                     "opt_cond": oc[sl], "dos": dos[sl],
                     "dos_AN": dan[sl], "A_k0": ak[sl]})
+        if cfg.checkpoint_freq and (n_done % cfg.checkpoint_freq == 0
+                                    or n_done >= cfg.n_measure):
+            save_checkpoint(ckpt_path, states, n_done,
+                            extra={"dt_m": np.asarray(dt_m)})
         if n_done % 10 == 0:
             log(f"Meas {n_done}/{cfg.n_measure}. "
                 f"Acc={acc.mean():.2f}")

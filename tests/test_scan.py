@@ -2,6 +2,7 @@
 output layout, spectra processing and summary aggregation (rebuilds of the
 S1/S2/S5–S8 script suite as automated checks)."""
 
+import glob
 import os
 
 import numpy as np
@@ -150,3 +151,52 @@ def test_vectorized_scan_pads_to_device_multiple(tmp_path):
         assert len(rows) == 1 + 4          # header + 4 sweeps, 1 chain
     res = batch_process_spectra(root, "T_*")
     assert not res["failed"], res["failed"]
+
+
+def test_vectorized_scan_resume_preserves_outputs(tmp_path):
+    """A resumed scan must (a) skip thermalization, (b) preserve all
+    pre-interruption CSV rows byte-identically, (c) keep earlier spectra
+    bins, and (d) continue the measurement loop to the new n_measure.
+    (The reference's scans cannot resume at all — SURVEY §5.)"""
+    import dataclasses
+
+    root = str(tmp_path / "resumescan")
+    Ts = [0.5, 2.0]
+    # phase 1: "interrupted" run — measures 4 of what will become 8
+    # sweeps; checkpoint_freq=2 aligns with bin_size*freq for loss-free
+    # bins
+    cfg1 = tiny_cfg(root, n_therm=4, n_measure=4, measure_transport_freq=2,
+                    bin_size=1, checkpoint_freq=2)
+    run_scan_vectorized(cfg1, Ts, scan_param="T", replicas=2)
+    assert os.path.exists(os.path.join(root, "scan_checkpoint.npz"))
+    pre = {}
+    for d in sorted(glob.glob(os.path.join(root, "T_*"))):
+        with open(os.path.join(d, "observables.csv")) as f:
+            pre[d] = f.read()
+
+    # phase 2: resume to n_measure=8
+    cfg2 = dataclasses.replace(cfg1, n_measure=8, resume=True)
+    out = run_scan_vectorized(cfg2, Ts, scan_param="T", replicas=2)
+    with open(os.path.join(root, "scan.log")) as f:
+        logtxt = f.read()
+    assert "Resumed scan at measurement sweep 4" in logtxt
+
+    for d in out["dirs"]:
+        with open(os.path.join(d, "observables.csv")) as f:
+            txt = f.read()
+        # pre-interruption rows byte-identical
+        assert txt.startswith(pre[d]), d
+        rows = txt.strip().split("\n")
+        assert len(rows) == 1 + 8 * 2      # header + 8 sweeps x 2 chains
+        # spectra bins: sweeps 2,4 (pre) + 6,8 (post) all present
+        from dwavehmc_tpu.utils.io import SpectraBinStore
+        _, bins = SpectraBinStore.load_bins(
+            os.path.join(d, "spectra_bins.npz"))
+        assert sorted(bins) == [2, 4, 6, 8], sorted(bins)
+
+    # config mismatch -> fresh start, not a corrupt resume
+    cfg3 = dataclasses.replace(cfg1, resume=True)
+    run_scan_vectorized(cfg3, [0.5, 1.0, 2.0], scan_param="T", replicas=2)
+    with open(os.path.join(root, "scan.log")) as f:
+        logtxt = f.read()
+    assert "scan_config mismatch" in logtxt
