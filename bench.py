@@ -236,7 +236,7 @@ def main():
                 lat, params, states, sweeps, Nt, dt, True, None, None,
                 t_iters, int(os.environ.get("BENCH_ANCHOR_EVERY", 10)),
                 int(os.environ.get("BENCH_REFINE_ITERS", 12)),
-                int(os.environ.get("BENCH_POLISH_ITERS", 6)), ns, rot)
+                int(os.environ.get("BENCH_POLISH_ITERS", 4)), ns, rot)
         return seg_fn(lat, params, states, sweeps, Nt, dt, True, None,
                       None, mode)
 
@@ -264,7 +264,7 @@ def main():
                        if mode == "tracked_fast" else 1)
             r_iters = (int(os.environ.get("BENCH_REFINE_ITERS", 12))
                        if mode == "tracked_fast" else 0)
-            p_iters = (int(os.environ.get("BENCH_POLISH_ITERS", 6))
+            p_iters = (int(os.environ.get("BENCH_POLISH_ITERS", 4))
                        if mode == "tracked_fast" else 0)
             flops = tracked_model_flops(
                 L, Nt, batch, sweeps, t_iters, a_every, r_iters, p_iters,

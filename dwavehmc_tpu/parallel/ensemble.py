@@ -268,7 +268,7 @@ def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
 def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                         measure=True, params_axis=None, dt_axis=None,
                         tracked_iters=6, anchor_every=1, refine_iters=12,
-                        polish_iters=6, ns_steps=2, rot_dtype=None,
+                        polish_iters=4, ns_steps=2, rot_dtype=None,
                         max_fused=8):
     """Host-sequenced tracked segment; same interface/results shape as
     run_segment_real(eigh_mode="tracked") but crash-safe on the target
