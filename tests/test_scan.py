@@ -200,3 +200,30 @@ def test_vectorized_scan_resume_preserves_outputs(tmp_path):
     with open(os.path.join(root, "scan.log")) as f:
         logtxt = f.read()
     assert "scan_config mismatch" in logtxt
+
+
+def test_nt_escalation_triggers_and_rescales_dt(tmp_path):
+    """A grid point whose probe-window acceptance collapses must trigger
+    the one-shot global Nt escalation (reference controller intent,
+    src/Simulation.jl:116-120) with dt recomputed from the harmonic
+    heuristic at the new Nt."""
+    root = str(tmp_path / "escscan")
+    # beta=200 at Nt_therm_init=3 under-integrates badly -> acc ~ 0
+    cfg = tiny_cfg(root, n_therm=10, n_measure=2, Nt_therm_init=3,
+                   Nt_measure=3, measure_transport_freq=2, bin_size=1,
+                   eigh_mode="tracked", anchor_every=2, dtype="float32",
+                   path="real")
+    run_scan_vectorized(cfg, [0.005, 0.5], scan_param="T", replicas=1)
+    with open(os.path.join(root, "scan.log")) as f:
+        logtxt = f.read()
+    assert "escalating ensemble Nt 3 ->" in logtxt
+    assert "Thermalization done (10 sweeps, Nt=6)" in logtxt
+
+    # with escalation disabled the Nt stays put
+    root2 = str(tmp_path / "noesc")
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, out_dir=root2, Nt_escalate=False)
+    run_scan_vectorized(cfg2, [0.005, 0.5], scan_param="T", replicas=1)
+    with open(os.path.join(root2, "scan.log")) as f:
+        logtxt2 = f.read()
+    assert "escalating" not in logtxt2
