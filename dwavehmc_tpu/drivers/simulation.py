@@ -80,21 +80,32 @@ def run_simulation(cfg: RunConfig) -> dict:
             # exact embedding eigh shares a program with the tracked loop
             from ..parallel.ensemble import run_segment_tracked
 
-            def seg_fn(lt, p, s, n, Nt, dt, measure, pa):
+            # Thermalization always anchors every sweep (exact Metropolis
+            # spectra): cheap-anchor dH error ~ residual²/gap explodes on
+            # cold low-T states — see drivers/scan.py for the measured
+            # failure; cfg.anchor_every applies to measurement.
+            def seg_fn(lt, p, s, n, Nt, dt, measure, pa,
+                       anchor_every=None):
                 return run_segment_tracked(lt, p, s, n, Nt, dt, measure,
                                            pa, None, cfg.tracked_iters,
-                                           cfg.anchor_every,
+                                           anchor_every
+                                           if anchor_every is not None
+                                           else cfg.anchor_every,
                                            cfg.refine_iters,
                                            cfg.polish_iters, 2,
                                            cfg.rot_jax_dtype())
         else:
-            def seg_fn(lt, p, s, n, Nt, dt, measure, pa):
+            def seg_fn(lt, p, s, n, Nt, dt, measure, pa,
+                       anchor_every=None):
+                del anchor_every
                 return run_segment_real_jit(lt, p, s, n, Nt, dt, measure,
                                             pa, None, cfg.eigh_mode)
         init_fn = init_ensemble_real
         transport_fn = ensemble_transport_real_jit
     else:
-        seg_fn = run_segment_jit
+        def seg_fn(lt, p, s, n, Nt, dt, measure, pa, anchor_every=None):
+            del anchor_every
+            return run_segment_jit(lt, p, s, n, Nt, dt, measure, pa)
         init_fn = init_ensemble
         transport_fn = ensemble_transport_jit
 
@@ -157,7 +168,7 @@ def run_simulation(cfg: RunConfig) -> dict:
         while done < cfg.n_therm:
             n = min(window, cfg.n_therm - done)
             states, seg = seg_fn(lat, params, states, n, Nt, dt,
-                                 False, None)
+                                 False, None, anchor_every=1)
             done += n
             rate = float(np.mean(np.asarray(seg.accepted)))
             old_Nt = Nt
