@@ -30,12 +30,20 @@ def measure_observables_real(lat: LatticeSpec, params: ModelParams,
     glob = jnp.sqrt(S)
 
     E, X, Y = state.evals, state.X, state.Y
+    # PH-even all-levels/2 forms (see sampler/hmc_real._energy_terms):
+    # ``E`` is an unsorted tracked spectrum on cheap-anchor sweeps, where
+    # sign noise on the near-zero PH pair would make an E>0 restriction
+    # mis-count levels.  Both summands are even under (E, u, v) → (−E, v*,
+    # u*): w flips sign with tanh, and g(E) = β|E| + 2·softplus(−β|E|) is
+    # even outright — so summing every level once and halving equals the
+    # reference's Σ_{E>0} (src/Observables.jl:127-165) exactly under PH
+    # pairing, independent of level order or near-zero sign flips.
     w = (jnp.sum(X[:N]**2 + Y[:N]**2, axis=0)
          - jnp.sum(X[N:]**2 + Y[N:]**2, axis=0))
-    hole = jnp.sum(jnp.where(E > 0, w * jnp.tanh(0.5 * beta * E), 0.0)) / N
+    hole = 0.5 * jnp.sum(w * jnp.tanh(0.5 * beta * E)) / N
 
-    x = beta * E
-    fer = -jnp.sum(jnp.where(E > 0, x + 2.0 * jax.nn.softplus(-x), 0.0))
+    x = beta * jnp.abs(E)
+    fer = -0.5 * jnp.sum(x + 2.0 * jax.nn.softplus(-x))
     bos = (beta / (2.0 * J)) * jnp.sum(dre**2 + dim**2)
     energy = (fer + bos) / N
 

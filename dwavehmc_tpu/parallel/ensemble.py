@@ -299,7 +299,10 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
     runtime scales with the leapfrog length, so the effective cap is
     also bounded by ~48 total leapfrog steps per program (observed: a
     4-sweep block at Nt=40, ≈160 steps, crashed the worker at the same
-    shape where 54 steps were safe).
+    shape where 54 steps were safe).  The budget counts the anchor
+    sweep's leapfrog too: the final program of each anchor interval
+    holds at most 54//Nt − 1 cheap sweeps, and at large Nt the anchor
+    leapfrog runs as its own program rather than exceeding the margin.
     """
     accs, dHs, obss = [], [], []
 
@@ -322,16 +325,25 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                    None if not measure
                    else jax.tree.map(lambda x: x[None], obs))
     else:
-        # watchdog-safe chunk size: bounded in sweeps AND total leapfrog
-        # steps (long-Nt thermalization sweeps are proportionally slower)
-        max_fused = max(1, min(max_fused, 48 // max(1, Nt)))
+        # watchdog-safe chunk sizes: programs are bounded in total leapfrog
+        # steps (long-Nt thermalization sweeps are proportionally slower).
+        # Cheap-only chunks may carry 48//Nt sweeps; the FINAL program also
+        # contains the anchor sweep's leapfrog, so its cheap budget is one
+        # sweep smaller against a 54-step total (the observed-safe point:
+        # 8 cheap + 1 anchor = 54 steps at Nt=6, 24×24/b64).  When Nt is
+        # too large to fuse anything alongside the anchor (54//Nt < 2) the
+        # anchor leapfrog is emitted as its own program (n_cheap=0 block),
+        # never beyond the validated margin.
+        max_chunk = max(1, min(max_fused, 48 // max(1, Nt)))
+        anchor_fused = max(0, min(max_fused, 54 // max(1, Nt) - 1))
         done = 0
         while done < n_sweeps:
             k = min(anchor_every, n_sweeps - done)   # k-1 cheap + 1 anchored
             n_cheap = k - 1
-            # chunk long anchor intervals into watchdog-safe programs
-            while n_cheap > max_fused:
-                c = min(max_fused, n_cheap - 1)      # keep ≥1 for the final
+            # drain cheap sweeps beyond the anchor program's budget into
+            # watchdog-safe cheap-only programs
+            while n_cheap > anchor_fused:
+                c = min(max_chunk, n_cheap - anchor_fused)
                 states, recs, _ = _tracked_block_jit(
                     lat, params, states, c, Nt, dt, tracked_iters,
                     refine_iters, measure, params_axis, dt_axis,

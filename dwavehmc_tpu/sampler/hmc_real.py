@@ -81,8 +81,16 @@ def init_chain_state_real(lat: LatticeSpec, params: ModelParams, key, *,
 def _energy_terms(delta_re, delta_im, pi_re, pi_im, evals, beta, J, mass):
     kin = jnp.sum(pi_re**2 + pi_im**2) / (2.0 * mass)
     bos = (beta / (2.0 * J)) * jnp.sum(delta_re**2 + delta_im**2)
-    x = beta * evals
-    fer = -jnp.sum(jnp.where(evals > 0, x + 2.0 * jax.nn.softplus(-x), 0.0))
+    # Fermion term via the PH-even all-levels/2 form: g(E) = β|E| +
+    # 2·softplus(−β|E|) summed over EVERY level and halved.  Exactly equal
+    # to the reference's Σ_{E>0} form (src/HMC.jl:21-27) under ±E pairing,
+    # but invariant under permutation and per-level sign noise — ``evals``
+    # may be an UNSORTED tracked spectrum during cheap-anchor sweeps, where
+    # sign noise on the near-zero PH pair would make the E>0 restriction
+    # mis-count a level (contributing a spurious ±2·log 2 to the logged
+    # H_old / Energy column even though dH itself was already robust).
+    x = beta * jnp.abs(evals)
+    fer = -0.5 * jnp.sum(x + 2.0 * jax.nn.softplus(-x))
     return kin + bos + fer
 
 

@@ -98,3 +98,60 @@ def test_cheap_anchor_bias_f32_midscale():
     # Metropolis scale is O(1); a dH error of 0.05 shifts acceptance by
     # < 5% in the worst case and ~0 on average (sign-symmetric residual)
     assert max_err < 5e-2, max_err
+
+
+# --- PH-even energy diagnostics on unsorted/sign-noised spectra -------------
+#
+# Cheap-anchor sweeps carry UNSORTED tracked spectra whose near-zero PH pair
+# can read with the wrong sign (both members positive, say).  The logged
+# H_old / Energy / Hole_p diagnostics must be invariant to that noise — the
+# |E|/2 even forms guarantee it exactly; the old E>0 restriction mis-counted
+# a level (spurious ±2·log 2 in the fermion sum).
+
+def test_energy_terms_invariant_to_sign_noise_and_order():
+    from dwavehmc_tpu.sampler.hmc_real import _energy_terms
+
+    z = jnp.zeros((4, 2))
+    # exact PH-paired spectrum with a near-degenerate zero pair
+    e_true = jnp.asarray([-2.0, -1.0, -1e-9, 1e-9, 1.0, 2.0])
+    # sign noise: the -1e-9 member reads positive -> both members positive
+    e_noisy = jnp.asarray([-2.0, -1.0, 2e-9, 1e-9, 1.0, 2.0])
+    perm = jnp.asarray([3, 0, 5, 1, 4, 2])
+
+    h_true = _energy_terms(z, z, z, z, e_true, 10.0, 0.8, 1.0)
+    h_noisy = _energy_terms(z, z, z, z, e_noisy[perm], 10.0, 0.8, 1.0)
+    np.testing.assert_allclose(float(h_noisy), float(h_true),
+                               rtol=0, atol=1e-7)
+
+
+def test_observables_real_energy_invariant_paired_sweep():
+    """Paired measurement: the same physical state measured with (a) the
+    exact sorted spectrum and (b) a permuted, sign-noised copy of it must
+    log identical Energy; Hole_p must be order-invariant."""
+    from dwavehmc_tpu.models.observables_real import measure_observables_real
+    from dwavehmc_tpu.sampler.hmc_real import init_chain_state_real
+
+    params = make_params(W=0.5, n_imp=0.25, beta=10.0, J=0.8,
+                         dtype=jnp.float64)
+    st = init_chain_state_real(LAT, params, jax.random.PRNGKey(3),
+                               dtype=jnp.float64, n_imp=0.25)
+    obs_a = measure_observables_real(LAT, params, st)
+
+    # permute levels and flip three eigenvalue signs (hole keeps the
+    # permutation only: w.tanh is not invariant to a bare sign flip)
+    n = st.evals.shape[0]
+    perm = np.asarray(jax.random.permutation(jax.random.PRNGKey(4), n))
+    st_p = st._replace(evals=st.evals[perm], X=st.X[:, perm],
+                       Y=st.Y[:, perm])
+    obs_p = measure_observables_real(LAT, params, st_p)
+    np.testing.assert_allclose(float(obs_p.total_energy),
+                               float(obs_a.total_energy), rtol=1e-12)
+    np.testing.assert_allclose(float(obs_p.hole_conc),
+                               float(obs_a.hole_conc), rtol=1e-12)
+
+    flip = np.ones(n)
+    flip[[0, n // 2, n - 1]] = -1.0
+    st_f = st._replace(evals=st.evals * jnp.asarray(flip))
+    obs_f = measure_observables_real(LAT, params, st_f)
+    np.testing.assert_allclose(float(obs_f.total_energy),
+                               float(obs_a.total_energy), rtol=1e-12)

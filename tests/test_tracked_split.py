@@ -144,3 +144,52 @@ def test_bf16_rotation_dtype_runs_and_stays_finite():
     assert s.evals.dtype == jnp.float32
     assert np.all(np.isfinite(np.asarray(seg.dH)))
     assert np.asarray(seg.accepted).shape == (4, 2)
+
+
+def test_program_step_budget_counts_anchor_leapfrog(monkeypatch):
+    """Watchdog budget: no device program may contain more than ~54 total
+    leapfrog steps, INCLUDING the anchor sweep's leapfrog fused into the
+    final block of each anchor interval (ADVICE r2: at Nt=40 the old cap
+    emitted an 80-step final program, beyond any validated margin)."""
+    import dwavehmc_tpu.parallel.ensemble as ens
+
+    calls = []
+    real_block = ens._tracked_block_jit
+
+    def spy(lat, params, states, n_cheap, Nt, dt, tracked_iters,
+            refine_iters, measure=True, params_axis=None, dt_axis=None,
+            polish_iters=0, ns_steps=2, rot_dtype=None, final_leapfrog=True):
+        calls.append((n_cheap, Nt, final_leapfrog))
+        return real_block(lat, params, states, n_cheap, Nt, dt,
+                          tracked_iters, refine_iters, measure, params_axis,
+                          dt_axis, polish_iters, ns_steps, rot_dtype,
+                          final_leapfrog)
+
+    monkeypatch.setattr(ens, "_tracked_block_jit", spy)
+
+    params = make_params(W=0.5, n_imp=0.25, beta=10.0, J=1.0,
+                         dtype=jnp.float64)
+    states0 = init_ensemble_real(LAT, params, jax.random.PRNGKey(9), 1,
+                                 dtype=jnp.float64, n_imp=0.25)
+
+    # large Nt (thermalization-style): anchor leapfrog must run alone
+    Nt = 40
+    dt = calc_optimal_dt(10.0, 1.0, 1.0, Nt)
+    run_segment_tracked(LAT, params, states0, 4, Nt, dt, False, None, None,
+                        2, anchor_every=2, refine_iters=2, polish_iters=1)
+    assert calls, "block runner never used"
+    for n_cheap, nt, final in calls:
+        steps = (n_cheap + (1 if final else 0)) * nt
+        assert steps <= 54, (n_cheap, nt, final)
+
+    # moderate Nt with a long anchor interval: every program (including the
+    # final fused block) stays within the 54-step margin
+    calls.clear()
+    Nt = 6
+    dt = calc_optimal_dt(10.0, 1.0, 1.0, Nt)
+    run_segment_tracked(LAT, params, states0, 12, Nt, dt, False, None, None,
+                        2, anchor_every=12, refine_iters=2, polish_iters=1)
+    for n_cheap, nt, final in calls:
+        steps = (n_cheap + (1 if final else 0)) * nt
+        assert steps <= 54, (n_cheap, nt, final)
+    assert sum(c for c, _, _ in calls) == 11   # 11 cheap + 1 anchored
