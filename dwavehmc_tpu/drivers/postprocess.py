@@ -130,12 +130,13 @@ def _csv_stats(path: str, skip_cols=("Sweep", "Chain", "Accepted")) -> dict:
     out = {}
     cols = rows[0].keys()
     for c in cols:
-        vals = np.array([float(r[c]) for r in rows])
-        if c in ("Sweep", "Chain"):
-            continue
         if c == "Accepted":
-            out["AccRate"] = vals.mean()
+            out["AccRate"] = np.array(
+                [float(r[c]) for r in rows]).mean()
             continue
+        if c in skip_cols:
+            continue
+        vals = np.array([float(r[c]) for r in rows])
         # dH can legitimately be ±inf/nan on strongly rejected proposals
         # (e.g. f32 overflow on a cold-start trajectory — the state is
         # guarded, only the recorded diagnostic blows up); aggregate over

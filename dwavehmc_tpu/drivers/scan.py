@@ -59,10 +59,29 @@ def default_beta_grid(n=24, lo=0.01, hi=1e5) -> np.ndarray:
     return np.logspace(np.log10(lo), np.log10(hi), n)
 
 
+def _point_complete(out_dir: str, n_measure: int) -> bool:
+    """True when a scan point's checkpoint says all measurement sweeps ran
+    (the per-point run_simulation writes a final checkpoint at n_measure)."""
+    p = os.path.join(out_dir, "checkpoint.npz")
+    if not os.path.exists(p):
+        return False
+    try:
+        with np.load(p) as z:
+            return int(z["sweep_idx"]) >= n_measure
+    except Exception:  # noqa: BLE001 — corrupt checkpoint ⇒ just re-run
+        return False
+
+
 def run_scan_serial(cfg: RunConfig, values, *, scan_param: str = "T",
                     out_root: str | None = None) -> list[dict]:
     """One run_simulation per grid value.  ``scan_param``: "T" (β = 1/T)
-    or any RunConfig field name (e.g. "beta", "J", "W")."""
+    or any RunConfig field name (e.g. "beta", "J", "W").
+
+    With ``cfg.resume``, grid points whose checkpoint already covers all
+    ``n_measure`` sweeps are skipped outright and partially-done points
+    resume mid-run — the loop restart costs nothing re-computed.  (The
+    reference's serial scan re-runs everything after a crash,
+    scripts/batch_scan_T.jl:54-74.)"""
     out_root = out_root or cfg.out_dir
     os.makedirs(out_root, exist_ok=True)
     results = []
@@ -73,6 +92,11 @@ def run_scan_serial(cfg: RunConfig, values, *, scan_param: str = "T",
         else:
             setattr(sub, scan_param, float(v))
         sub.out_dir = os.path.join(out_root, f"{scan_param}_{float(v):.6g}")
+        if cfg.resume and _point_complete(sub.out_dir, sub.n_measure):
+            results.append({"acceptance": float("nan"),
+                            "sweeps": sub.n_measure,
+                            "out_dir": sub.out_dir, "skipped": True})
+            continue
         results.append(run_simulation(sub))
     return results
 
@@ -90,9 +114,18 @@ def _broadcast_params(base: ModelParams, n: int, **per_chain) -> ModelParams:
     return ModelParams(**fields)
 
 
+#: dt may shrink to at most this fraction of the harmonic-heuristic dt0 —
+#: unbounded shrinkage silently collapses trajectories to zero length
+#: (acceptance looks perfect while the chain stops moving and the point
+#: never decorrelates); chains pinned at the floor are surfaced by
+#: ``chain_health`` instead of hidden.
+DT_MIN_FACTOR = 0.05
+
+
 def adapt_dts(dts: np.ndarray, acc: np.ndarray, dt0: np.ndarray,
               lo: float = 0.60, hi: float = 0.95, shrink: float = 0.7,
-              grow: float = 1.1, max_factor: float = 4.0) -> np.ndarray:
+              grow: float = 1.1, max_factor: float = 4.0,
+              min_factor: float = DT_MIN_FACTOR) -> np.ndarray:
     """Per-chain step-size controller for the vectorized scan.
 
     The reference's thermalization controller retunes (Nt, dt) per point
@@ -100,12 +133,51 @@ def adapt_dts(dts: np.ndarray, acc: np.ndarray, dt0: np.ndarray,
     (src/Simulation.jl:99-130).  Under a single jitted ensemble, Nt is a
     static loop bound shared by every chain, so the per-chain knob is dt
     (a traced array — adapting it re-jits nothing): acceptance below the
-    window shrinks dt, above it grows dt (bounded by ``max_factor``·dt0)
-    to trade surplus acceptance for longer trajectories.
+    window shrinks dt (floored at ``min_factor``·dt0), above it grows dt
+    (bounded by ``max_factor``·dt0) to trade surplus acceptance for longer
+    trajectories.
     """
-    dts = np.where(acc < lo, dts * shrink, dts)
+    dts = np.where(acc < lo, np.maximum(dts * shrink, dt0 * min_factor), dts)
     dts = np.where(acc > hi, np.minimum(dts * grow, dt0 * max_factor), dts)
     return dts
+
+
+def chain_health(dts: np.ndarray, acc: np.ndarray, dt0: np.ndarray,
+                 lo: float = 0.60,
+                 min_factor: float = DT_MIN_FACTOR) -> np.ndarray:
+    """Boolean mask of UNHEALTHY chains: pinned at the dt floor while still
+    below the acceptance window.  dt shrinkage alone cannot rescue these —
+    they need more leapfrog steps (Nt escalation) or a longer schedule —
+    so the scan logs them per point rather than silently emitting a
+    decorrelated chain."""
+    at_floor = dts <= dt0 * min_factor * 1.0001
+    return at_floor & (acc < lo)
+
+
+def nt_buckets(acc_point: np.ndarray, Nt0: int,
+               thresholds=((0.30, 2.0), (0.60, 1.5))) -> dict[int, list[int]]:
+    """Partition grid points into Nt buckets from probe-window acceptance.
+
+    The reference retunes Nt per point (src/Simulation.jl:116-120); under
+    jit Nt is a static shape, so points needing the same Nt are grouped
+    into at most ``len(thresholds)+1`` sub-ensembles (few extra compiles)
+    instead of escalating the WHOLE ensemble to the worst chain's need.
+    Returns {Nt: [point indices]} (insertion order = ascending Nt).
+    """
+    need = np.ones_like(acc_point)
+    for cut, factor in sorted(thresholds):
+        need = np.where(acc_point < cut, np.maximum(need, factor), need)
+    out: dict[int, list[int]] = {}
+    for Nt in sorted({int(np.ceil(Nt0 * f)) for f in np.unique(need)}):
+        pts = [int(g) for g in range(len(acc_point))
+               if int(np.ceil(Nt0 * need[g])) == Nt]
+        if pts:
+            out[Nt] = pts
+    return out
+
+
+def _take_rows(tree, rows):
+    return jax.tree.map(lambda x: x[rows], tree)
 
 
 def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
@@ -207,7 +279,18 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         init_fn = init_ensemble
         transport_fn = ensemble_transport_jit
 
-    mesh = make_mesh() if (use_mesh and n_dev > 1) else None
+    # mesh: 1-D over chains, or 2-D (grid × chain) when both axes are
+    # non-trivial so replica reductions per point stay within a sub-ring
+    # (parallel/mesh.py; the flat chain axis is laid out point-major, so
+    # the 2-D sharding keeps each point's replicas on one mesh column)
+    mesh, sharding = None, None
+    if use_mesh and n_dev > 1:
+        if C > 1 and G > 1:
+            from ..parallel.mesh import grid_chain_sharding, make_mesh_2d
+            mesh = make_mesh_2d(G)
+            sharding = grid_chain_sharding(mesh)
+        else:
+            mesh = make_mesh()
 
     # --- resume: restore ensemble + measurement progress -----------------
     # (reference scans cannot resume at all — a crash loses the run,
@@ -217,6 +300,7 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     cfg_path = os.path.join(out_root, "scan_config.json")
     n_done0 = 0
     dt_m_saved = None
+    ckpt_extra: dict = {}
     if cfg.resume and os.path.exists(ckpt_path):
         import json as _json
 
@@ -237,67 +321,135 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
             # base params suffice: rediagonalization needs only the
             # shared scalars (t, tp, mu) + the per-chain disorder that
             # lives in the checkpoint itself
-            states, n_done0, extra = load_checkpoint(ckpt_path, lat, base,
-                                                     state_path=path)
-            dt_m_saved = extra.get("dt_m")
+            states, n_done0, ckpt_extra = load_checkpoint(
+                ckpt_path, lat, base, state_path=path)
+            dt_m_saved = ckpt_extra.get("dt_m")
             log(f"Resumed scan at measurement sweep {n_done0} "
                 f"from {ckpt_path}.")
     if n_done0 == 0:
         states = init_fn(lat, base, jax.random.PRNGKey(cfg.seed), n_run,
                          dtype=dtype, n_imp=cfg.n_imp)
     if mesh is not None:
-        states = shard_ensemble(states, mesh)
+        states = shard_ensemble(states, mesh, sharding=sharding)
 
-    # --- thermalization: fixed Nt, per-chain adaptive dt ----------------
-    # window-5 controller toward the reference's 0.60–0.95 acceptance
-    # band (src/Simulation.jl:99-130), per-chain dt as the knob
+    # --- thermalization: probe window + bucketed per-point Nt -----------
+    # window-5 controller toward the reference's 0.60–0.95 acceptance band
+    # (src/Simulation.jl:99-130): a probe window at the initial Nt sorts
+    # grid POINTS into ≤3 Nt buckets (the reference retunes Nt per point;
+    # under jit Nt is a static shape, so same-Nt points share one
+    # sub-ensemble — a few extra compiles instead of escalating everyone
+    # to the worst chain's need), each bucket then thermalizes with its
+    # own per-chain adaptive dt and a bounded further re-escalation
+    # whenever acceptance stays collapsed (< 0.30) in later windows.
     Nt_th = cfg.Nt_therm_init
+    window = 5
     dt0 = np.asarray(
         [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_th) for b in beta_per_chain])
     dts = dt0.copy()
-    window = 5
+    # chain → grid point (padded chains belong to the last point)
+    point_of_chain = np.minimum(np.arange(n_run) // C, G - 1)
+    Nt_chain = np.full(n_run, Nt_th, dtype=int)
+    acc_chain = np.ones(n_run)
+
     done = 0 if n_done0 == 0 else cfg.n_therm   # resumed: already thermal
-    escalated = False
-    while done < cfg.n_therm:
+    if done < cfg.n_therm:
         n = min(window, cfg.n_therm - done)
         states, seg = seg_fn(lat, params, states, n, Nt_th,
                              jnp.asarray(dts, dtype=dtype), False, 0, 0,
                              anchor_every=1)
         done += n
         acc_chain = np.asarray(seg.accepted).mean(axis=0)   # (n_run,)
-        # One-shot global Nt escalation after the probe window: the
-        # reference's controller raises Nt per point whenever window
-        # acceptance < 0.60 (src/Simulation.jl:116-120); under one
-        # vmapped ensemble Nt is a static shape, so we escalate the
-        # WHOLE ensemble once to the worst chain's need (over-
-        # integration on easy chains costs compute, not correctness)
-        # and recompute each chain's dt from the harmonic heuristic so
-        # trajectory lengths are preserved.  Single extra compile.
-        if cfg.Nt_escalate and not escalated:
-            escalated = True
-            need = np.where(acc_chain < 0.30, 2.0,
-                            np.where(acc_chain < 0.60, 1.5, 1.0))
-            Nt_new = int(np.ceil(Nt_th * float(need.max())))
-            if Nt_new > Nt_th:
-                log(f"Therm {done}/{cfg.n_therm}: min acc="
-                    f"{acc_chain.min():.2f} -> escalating ensemble Nt "
-                    f"{Nt_th} -> {Nt_new} (reference controller intent; "
-                    f"one recompile)")
-                Nt_th = Nt_new
-                dt0 = np.asarray([calc_optimal_dt(b, cfg.J, cfg.mass,
-                                                  Nt_th)
-                                  for b in beta_per_chain])
-                dts = dt0.copy()
-                continue
-        new_dts = adapt_dts(dts, acc_chain, dt0)
-        n_adj = int(np.sum(new_dts != dts))
-        if n_adj:
-            log(f"Therm {done}/{cfg.n_therm}: mean acc="
-                f"{acc_chain.mean():.2f}; adjusted dt on {n_adj} chain(s)")
-        dts = new_dts
+        dts = adapt_dts(dts, acc_chain, dt0)
+        log(f"Therm probe {done}/{cfg.n_therm}: acc "
+            f"[{acc_chain.min():.2f}, {acc_chain.max():.2f}]")
+
+    if done < cfg.n_therm:
+        if cfg.Nt_escalate:
+            acc_point = np.asarray([acc_chain[point_of_chain == g].min()
+                                    for g in range(G)])
+            buckets = nt_buckets(acc_point, Nt_th)
+        else:
+            buckets = {Nt_th: list(range(G))}
+        if list(buckets) != [Nt_th]:
+            log(f"Therm buckets (Nt -> #points): "
+                f"{ {k: len(v) for k, v in buckets.items()} } "
+                f"(reference controller intent, src/Simulation.jl:116-120)")
+        merged = []
+        for Nt_b, pts in buckets.items():
+            rows = np.sort(np.concatenate(
+                [np.flatnonzero(point_of_chain == g) for g in pts]))
+            jrows = jnp.asarray(rows)
+            st_b = _take_rows(states, jrows)
+            par_b = _take_rows(params, jrows)
+            dt0_b = np.asarray([calc_optimal_dt(b, cfg.J, cfg.mass, Nt_b)
+                                for b in beta_per_chain[rows]])
+            # preserve the probe window's learned per-chain correction
+            dts_b = dt0_b * (dts[rows] / dt0[rows])
+            Nt_chain[rows] = Nt_b
+            Nt_cur, escal_left, done_b = Nt_b, 2, done
+            while done_b < cfg.n_therm:
+                n = min(window, cfg.n_therm - done_b)
+                st_b, seg = seg_fn(lat, par_b, st_b, n, Nt_cur,
+                                   jnp.asarray(dts_b, dtype=dtype),
+                                   False, 0, 0, anchor_every=1)
+                done_b += n
+                acc_b = np.asarray(seg.accepted).mean(axis=0)
+                # bounded re-escalation: the reference keeps adding Nt
+                # every window while acceptance < 0.60; a chain whose
+                # acceptance stays collapsed after the probe window must
+                # not be left to dt shrinkage alone (ADVICE r2)
+                if (cfg.Nt_escalate and escal_left > 0
+                        and acc_b.min() < 0.30 and done_b < cfg.n_therm):
+                    escal_left -= 1
+                    Nt_cur = int(np.ceil(1.5 * Nt_cur))
+                    log(f"Therm {done_b}/{cfg.n_therm} bucket Nt={Nt_b}: "
+                        f"min acc={acc_b.min():.2f} -> re-escalating to "
+                        f"Nt={Nt_cur}")
+                    dt0_b = np.asarray(
+                        [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_cur)
+                         for b in beta_per_chain[rows]])
+                    dts_b = dt0_b.copy()
+                    Nt_chain[rows] = Nt_cur
+                    continue
+                dts_b = adapt_dts(dts_b, acc_b, dt0_b)
+            merged.append((rows, st_b, dts_b, dt0_b, acc_b))
+            log(f"Therm bucket Nt={Nt_cur} done ({len(pts)} point(s)), "
+                f"acc [{acc_b.min():.2f}, {acc_b.max():.2f}]")
+        # merge buckets back in original chain order
+        cat_rows = np.concatenate([m[0] for m in merged])
+        order = jnp.asarray(np.argsort(cat_rows))
+        states = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0)[order],
+            *[m[1] for m in merged])
+        if mesh is not None:
+            states = shard_ensemble(states, mesh, sharding=sharding)
+        inv = np.argsort(cat_rows)
+        dts = np.concatenate([m[2] for m in merged])[inv]
+        dt0 = np.concatenate([m[3] for m in merged])[inv]
+        acc_chain = np.concatenate([m[4] for m in merged])[inv]
+
     if n_done0 == 0:
-        log(f"Thermalization done ({cfg.n_therm} sweeps, Nt={Nt_th}), "
-            f"mean acc={np.asarray(seg.accepted).mean():.2f}")
+        # per-point health: a chain pinned at the dt floor while below the
+        # acceptance window cannot be rescued by dt shrinkage — surface it
+        unhealthy = chain_health(dts, acc_chain, dt0)
+        health = {}
+        for g in range(G):
+            sel = point_of_chain == g
+            health[f"{scan_param}_{values[g]:.6g}"] = {
+                "Nt_therm": int(Nt_chain[np.flatnonzero(sel)[0]]),
+                "min_acc_last_window": float(acc_chain[sel].min()),
+                "dt_factor_min": float((dts[sel] / dt0[sel]).min()),
+                "unhealthy_chains": int(unhealthy[sel].sum()),
+            }
+        write_json(os.path.join(out_root, "therm_health.json"), health)
+        n_bad = int(unhealthy[:n_total].sum())
+        if n_bad:
+            log(f"WARNING: {n_bad} chain(s) pinned at the dt floor with "
+                f"acceptance < 0.60 after thermalization — see "
+                f"therm_health.json")
+        log(f"Thermalization done ({cfg.n_therm} sweeps, Nt "
+            f"{Nt_chain.min()}..{Nt_chain.max()}), "
+            f"mean acc={acc_chain.mean():.2f}")
 
     # --- measurement ----------------------------------------------------
     # carry the learned per-chain dt correction factor into the
@@ -337,8 +489,24 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     write_json(os.path.join(out_root, "scan_config.json"),
                {**cfg.to_dict(), "scan_param": scan_param,
                 "values": values.tolist(), "replicas": C})
+    if n_done0 > 0:
+        # restore each point's partial-bin accumulator (saved under
+        # per-point prefixed keys in the checkpoint 'extra' channel, like
+        # the serial driver) so a resume aligned to nothing still loses
+        # no heavy measurements
+        for g, st in enumerate(stores):
+            pref = f"store{g}_"
+            st.load_state({k[len(pref):]: v for k, v in ckpt_extra.items()
+                           if k.startswith(pref)})
 
     from ..utils.checkpoint import save_checkpoint
+
+    def _ckpt_extra():
+        extra = {"dt_m": np.asarray(dt_m)}
+        for g, st in enumerate(stores):
+            for k, v in st.state_dict().items():
+                extra[f"store{g}_{k}"] = v
+        return extra
 
     freq = max(1, cfg.measure_transport_freq)
     n_done = n_done0
@@ -365,7 +533,14 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         n_done += n
 
         if n_done % freq == 0:
-            res = transport_fn(lat, spec, params, states, 0)
+            # padded throwaway chains are sliced off BEFORE the transport
+            # pass (the heaviest measurement) — only real chains pay
+            if n_pad:
+                res = transport_fn(lat, spec,
+                                   _take_rows(params, slice(0, n_total)),
+                                   _take_rows(states, slice(0, n_total)), 0)
+            else:
+                res = transport_fn(lat, spec, params, states, 0)
             rho = np.asarray(res.superfluid_stiffness)
             dc = np.asarray(res.dc_conductivity)
             oc = np.asarray(res.optical_conductivity)
@@ -385,8 +560,7 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                     "dos_AN": dan[sl], "A_k0": ak[sl]})
         if cfg.checkpoint_freq and (n_done % cfg.checkpoint_freq == 0
                                     or n_done >= cfg.n_measure):
-            save_checkpoint(ckpt_path, states, n_done,
-                            extra={"dt_m": np.asarray(dt_m)})
+            save_checkpoint(ckpt_path, states, n_done, extra=_ckpt_extra())
         if n_done % 10 == 0:
             log(f"Meas {n_done}/{cfg.n_measure}. "
                 f"Acc={acc.mean():.2f}")

@@ -46,9 +46,12 @@ def chain_sharding(mesh: Mesh, axis_name: str = CHAIN_AXIS) -> NamedSharding:
 
 
 def shard_ensemble(states: HMCState, mesh: Mesh,
-                   axis_name: str = CHAIN_AXIS) -> HMCState:
-    """Place every leaf's leading (chain) axis across the mesh."""
-    sh = chain_sharding(mesh, axis_name)
+                   axis_name: str = CHAIN_AXIS,
+                   sharding: NamedSharding | None = None) -> HMCState:
+    """Place every leaf's leading (chain) axis across the mesh.  An explicit
+    ``sharding`` overrides the default 1-D chain sharding (e.g. the 2-D
+    grid×chain layout from parallel/mesh.grid_chain_sharding)."""
+    sh = sharding if sharding is not None else chain_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sh), states)
 
 

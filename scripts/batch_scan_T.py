@@ -40,7 +40,8 @@ def main():
     p.add_argument("--T_max", type=float, default=1e3)
     p.add_argument("--replicas", type=int, default=None,
                    help="chains per T point (vectorized mode)")
-    p.add_argument("--summarize", action="store_true", default=True)
+    p.add_argument("--summarize", action=argparse.BooleanOptionalAction,
+                   default=True)
     from dwavehmc_tpu.utils.platform import add_platform_arg, force_platform
     add_platform_arg(p)
     ns = p.parse_args()

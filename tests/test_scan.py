@@ -125,11 +125,37 @@ def test_adapt_dts_controller():
     big = adapt_dts(dt0 * 4.0, acc, dt0)
     assert big[3] == dt0[3] * 4.0
 
-    # a chain stuck at acc=0 converges toward 0 monotonically
+    # a chain stuck at acc=0 is FLOORED at min_factor*dt0, never collapses
+    # to zero-length trajectories (VERDICT r2: unbounded shrinkage lets a
+    # chain silently stop moving while acceptance looks perfect)
+    from dwavehmc_tpu.drivers.scan import DT_MIN_FACTOR, chain_health
+
     d = dt0.copy()
-    for _ in range(10):
+    for _ in range(30):
         d = adapt_dts(d, np.zeros(4), dt0)
-    assert np.all(d < dt0 * 0.05)
+    assert np.all(d == dt0 * DT_MIN_FACTOR)
+    # ...and chain_health flags exactly these floored-and-still-failing
+    # chains, not a floored chain whose acceptance recovered
+    bad = chain_health(d, np.array([0.0, 0.0, 0.7, 0.96]), dt0)
+    assert bad.tolist() == [True, True, False, False]
+    healthy = chain_health(dt0.copy(), np.zeros(4), dt0)   # not at floor
+    assert not healthy.any()
+
+
+def test_nt_buckets_partition():
+    """Probe-window acceptance partitions grid points into <=3 Nt buckets
+    (per-point Nt retuning under jit's static-shape constraint; reference
+    retunes Nt per point, src/Simulation.jl:116-120)."""
+    from dwavehmc_tpu.drivers.scan import nt_buckets
+
+    acc = np.array([0.9, 0.45, 0.1, 0.7, 0.05])
+    b = nt_buckets(acc, 6)
+    assert b == {6: [0, 3], 9: [1], 12: [2, 4]}
+    # every point lands in exactly one bucket
+    allpts = sorted(p for pts in b.values() for p in pts)
+    assert allpts == list(range(5))
+    # all-healthy grid: single bucket at the original Nt
+    assert nt_buckets(np.full(3, 0.8), 6) == {6: [0, 1, 2]}
 
 
 def test_vectorized_scan_pads_to_device_multiple(tmp_path):
@@ -203,27 +229,92 @@ def test_vectorized_scan_resume_preserves_outputs(tmp_path):
 
 
 def test_nt_escalation_triggers_and_rescales_dt(tmp_path):
-    """A grid point whose probe-window acceptance collapses must trigger
-    the one-shot global Nt escalation (reference controller intent,
-    src/Simulation.jl:116-120) with dt recomputed from the harmonic
-    heuristic at the new Nt."""
+    """A grid point whose probe-window acceptance collapses must land in a
+    higher-Nt bucket (per-point Nt retuning, reference controller intent
+    src/Simulation.jl:116-120) while the easy point keeps the original Nt —
+    nobody is over-integrated to the worst chain's need.  A per-point
+    therm_health.json is emitted."""
+    import json
+
     root = str(tmp_path / "escscan")
-    # beta=200 at Nt_therm_init=3 under-integrates badly -> acc ~ 0
-    cfg = tiny_cfg(root, n_therm=10, n_measure=2, Nt_therm_init=3,
+    # at Nt_therm_init=5 the hot point (T=5: large harmonic dt) probes at
+    # acc ~0.4 and must escalate; the cold point probes near 1.0 and must
+    # NOT be dragged along (measured differentiation on this seed)
+    cfg = tiny_cfg(root, n_therm=10, n_measure=2, Nt_therm_init=5,
                    Nt_measure=3, measure_transport_freq=2, bin_size=1,
                    eigh_mode="tracked", anchor_every=2, dtype="float32",
                    path="real")
-    run_scan_vectorized(cfg, [0.005, 0.5], scan_param="T", replicas=1)
+    run_scan_vectorized(cfg, [0.005, 5.0], scan_param="T", replicas=1)
     with open(os.path.join(root, "scan.log")) as f:
         logtxt = f.read()
-    assert "escalating ensemble Nt 3 ->" in logtxt
-    assert "Thermalization done (10 sweeps, Nt=6)" in logtxt
+    assert "Therm buckets (Nt -> #points)" in logtxt
+    with open(os.path.join(root, "therm_health.json")) as f:
+        health = json.load(f)
+    assert set(health) == {"T_0.005", "T_5"}
+    # hard point escalated beyond Nt=5, easy point untouched
+    assert health["T_5"]["Nt_therm"] > 5
+    assert health["T_0.005"]["Nt_therm"] == 5
+    for h in health.values():
+        assert 0.0 <= h["min_acc_last_window"] <= 1.0
+        assert h["dt_factor_min"] > 0
 
-    # with escalation disabled the Nt stays put
+    # with escalation disabled the Nt stays put (single bucket, no log)
     root2 = str(tmp_path / "noesc")
     import dataclasses
     cfg2 = dataclasses.replace(cfg, out_dir=root2, Nt_escalate=False)
-    run_scan_vectorized(cfg2, [0.005, 0.5], scan_param="T", replicas=1)
+    run_scan_vectorized(cfg2, [0.005, 5.0], scan_param="T", replicas=1)
     with open(os.path.join(root2, "scan.log")) as f:
         logtxt2 = f.read()
     assert "escalating" not in logtxt2
+    assert "Therm buckets" not in logtxt2
+
+
+def test_serial_scan_resume_skips_completed_points(tmp_path):
+    """With cfg.resume, grid points whose checkpoint covers all n_measure
+    sweeps are skipped outright (the reference's serial scan re-runs
+    everything after a crash, scripts/batch_scan_T.jl:54-74)."""
+    import dataclasses
+
+    root = str(tmp_path / "serialresume")
+    cfg = tiny_cfg(root, n_chains=1, n_therm=3, n_measure=4,
+                   measure_transport_freq=2, bin_size=1, checkpoint_freq=2)
+    run_scan_serial(cfg, [1.0], scan_param="T", out_root=root)   # point done
+    mtime = os.path.getmtime(os.path.join(root, "T_1", "observables.csv"))
+
+    cfg2 = dataclasses.replace(cfg, resume=True)
+    res = run_scan_serial(cfg2, [1.0, 2.0], scan_param="T", out_root=root)
+    assert res[0].get("skipped") is True            # finished: skipped
+    assert "skipped" not in res[1]                  # new point: ran
+    # the skipped point's outputs were not rewritten
+    assert os.path.getmtime(
+        os.path.join(root, "T_1", "observables.csv")) == mtime
+    assert os.path.exists(os.path.join(root, "T_2", "observables.csv"))
+    # without resume nothing is skipped
+    res3 = run_scan_serial(cfg, [1.0], scan_param="T", out_root=root)
+    assert "skipped" not in res3[0]
+
+
+def test_vectorized_resume_preserves_partial_bins(tmp_path):
+    """A checkpoint NOT aligned to bin boundaries must still lose no heavy
+    measurements: the partial-bin accumulator rides the checkpoint's extra
+    channel per point (ADVICE r2), like the serial driver."""
+    import dataclasses
+
+    from dwavehmc_tpu.utils.io import SpectraBinStore
+
+    root = str(tmp_path / "binresume")
+    Ts = [0.5, 2.0]
+    # bin_size=2 with transport every sweep; checkpoint at sweep 3 holds
+    # a HALF-FULL bin (measurement 3 of bin {3,4})
+    cfg1 = tiny_cfg(root, n_therm=4, n_measure=3, measure_transport_freq=1,
+                    bin_size=2, checkpoint_freq=3)
+    run_scan_vectorized(cfg1, Ts, scan_param="T", replicas=2)
+
+    cfg2 = dataclasses.replace(cfg1, n_measure=6, resume=True)
+    out = run_scan_vectorized(cfg2, Ts, scan_param="T", replicas=2)
+    for d in out["dirs"]:
+        _, bins = SpectraBinStore.load_bins(
+            os.path.join(d, "spectra_bins.npz"))
+        # bins complete at sweeps 2 (pre), 4 (STRADDLES the checkpoint:
+        # measurement 3 pre + 4 post), 6 (post) — nothing lost
+        assert sorted(bins) == [2, 4, 6], sorted(bins)
