@@ -1,0 +1,133 @@
+"""PH-split eigensolver (ops/ph_eigh.py) vs the QDWH oracle.
+
+The solver's claims, each checked against assembled BdG embeddings with
+disorder (not synthetic random matrices):
+ * the PH map S anticommutes with the embedding exactly,
+ * eigenvalues match jnp.linalg.eigh to f32-oracle accuracy,
+ * eigenvectors are valid (small residual, orthonormal) and all
+   phase-invariant downstream quantities match the oracle,
+ * the batched (vmapped) form agrees with the single-matrix form.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dwavehmc_tpu.models import bdg_real
+from dwavehmc_tpu.models.lattice import LatticeSpec
+from dwavehmc_tpu.ops.ph_eigh import (
+    diagonalize_embedding_ph,
+    ph_reflect,
+    sign_embedding,
+)
+
+
+def _embedding(L=8, seed=1, amp=0.05, W=0.5, dtype=jnp.float32):
+    lat = LatticeSpec(L, L)
+    N = lat.n_sites
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    dis = jax.random.uniform(k1, (N,), minval=-W, maxval=W)
+    dre = jax.random.normal(k2, (N, 2)) * amp + 0.04
+    dim_ = jax.random.normal(k3, (N, 2)) * amp
+    M = bdg_real.assemble_embedding(
+        lat, bdg_real.static_embedding(lat, 1.0, -0.35, -1.08, dis),
+        dre, dim_)
+    return lat, M.astype(dtype)
+
+
+def test_ph_map_anticommutes_exactly():
+    _, M = _embedding(L=6, seed=3)
+    d = M.shape[0]
+    SMS = ph_reflect(ph_reflect(M.T).T)      # S M Sᵀ via column/row maps
+    np.testing.assert_array_equal(np.asarray(SMS), -np.asarray(M))
+    # involution up to overall sign: S(Sv) = -v
+    V = jax.random.normal(jax.random.PRNGKey(0), (d, 3))
+    np.testing.assert_array_equal(np.asarray(ph_reflect(ph_reflect(V))),
+                                  -np.asarray(V))
+
+
+def test_sign_matches_spectral_sign():
+    _, M = _embedding(L=6, seed=5)
+    w, V = np.linalg.eigh(np.asarray(M, dtype=np.float64))
+    sgn_true = (V * np.sign(w)[None, :]) @ V.T
+    sgn = np.asarray(sign_embedding(M), dtype=np.float64)
+    assert np.abs(sgn - sgn_true).max() < 5e-5
+
+
+@pytest.mark.parametrize("orth", ["chol", "ns"])
+def test_ph_eigh_matches_oracle(orth):
+    _, M = _embedding(L=8, seed=1)
+    d4 = M.shape[0]
+    w_ref, X_ref, Y_ref = bdg_real.diagonalize_embedding(M)
+    w, X, Y = diagonalize_embedding_ph(M, orth=orth)
+    scale = float(jnp.abs(w_ref).max())
+
+    # eigenvalues: ascending, one per doubled level, oracle-accurate
+    assert np.all(np.diff(np.asarray(w)) > -1e-5)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                               atol=5e-5 * scale)
+
+    # eigenvectors: unit-norm, orthogonal, small residual on the
+    # embedding (M [x; y] = E [x; y])
+    V = jnp.concatenate([X, Y], axis=0)                     # (4N, 2N)
+    g = np.asarray(V.T @ V)
+    np.testing.assert_allclose(g, np.eye(d4 // 2), atol=5e-4)
+    R = np.asarray(M @ V - V * w[None, :])
+    assert np.abs(R).max() < 5e-3 * scale
+    assert np.linalg.norm(R, axis=0).max() < 5e-3 * scale
+
+
+def test_ph_eigh_phase_invariant_observables_match():
+    """Density matrix ρ = Σ_E<0 u u† and |u|² site weights (the inputs to
+    every observable) must match the oracle decomposition."""
+    _, M = _embedding(L=8, seed=7)
+    w_ref, X_ref, Y_ref = bdg_real.diagonalize_embedding(M)
+    w, X, Y = diagonalize_embedding_ph(M)
+    neg_ref = np.asarray(w_ref) < 0
+    neg = np.asarray(w) < 0
+    assert neg.sum() == neg_ref.sum()
+
+    def rho(X, Y, m):
+        Xm, Ym = np.asarray(X)[:, m], np.asarray(Y)[:, m]
+        return (Xm @ Xm.T + Ym @ Ym.T,          # Re Σ u u†
+                Ym @ Xm.T - Xm @ Ym.T)          # Im Σ u u†
+    r_re, r_im = rho(X, Y, neg)
+    o_re, o_im = rho(X_ref, Y_ref, neg_ref)
+    np.testing.assert_allclose(r_re, o_re, atol=2e-3)
+    np.testing.assert_allclose(r_im, o_im, atol=2e-3)
+
+    wgt = np.asarray(X**2 + Y**2)
+    wgt_ref = np.asarray(X_ref**2 + Y_ref**2)
+    # per-level |u_i|² site weights are phase-invariant but not
+    # degeneracy-rotation-invariant; compare level-summed weights in
+    # narrow energy windows instead
+    bins = np.linspace(float(w_ref.min()) - 0.1, float(w_ref.max()) + 0.1, 40)
+    for lo, hi in zip(bins[:-1], bins[1:]):
+        m = (np.asarray(w) >= lo) & (np.asarray(w) < hi)
+        m_ref = (np.asarray(w_ref) >= lo) & (np.asarray(w_ref) < hi)
+        np.testing.assert_allclose(wgt[:, m].sum(axis=1),
+                                   wgt_ref[:, m_ref].sum(axis=1), atol=5e-3)
+
+
+def test_ph_eigh_batched_matches_single():
+    _, M0 = _embedding(L=6, seed=11)
+    _, M1 = _embedding(L=6, seed=12)
+    Mb = jnp.stack([M0, M1])
+    wb, Xb, Yb = jax.vmap(diagonalize_embedding_ph)(Mb)
+    for i, M in enumerate((M0, M1)):
+        w, X, Y = diagonalize_embedding_ph(M)
+        np.testing.assert_allclose(np.asarray(wb[i]), np.asarray(w),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(Xb[i]), np.asarray(X),
+                                   atol=1e-6)
+
+
+def test_ph_eigh_nonfinite_guard():
+    """Non-finite input must not reach the inner eigh (TPU worker-crash
+    contract, sampler/hmc_real._finite_or_zero)."""
+    _, M = _embedding(L=6, seed=2)
+    M = M.at[0, 0].set(jnp.nan)
+    w, X, Y = diagonalize_embedding_ph(M)
+    # output may be garbage but must be finite-shaped, not crash
+    assert w.shape[0] == M.shape[0] // 2
