@@ -93,7 +93,8 @@ def run_simulation(cfg: RunConfig) -> dict:
                                            else cfg.anchor_every,
                                            cfg.refine_iters,
                                            cfg.polish_iters, 2,
-                                           cfg.rot_jax_dtype())
+                                           cfg.rot_jax_dtype(), 8,
+                                           cfg.exact_solver)
         else:
             def seg_fn(lt, p, s, n, Nt, dt, measure, pa,
                        anchor_every=None):

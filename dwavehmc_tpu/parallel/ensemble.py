@@ -195,14 +195,18 @@ def _tracked_leapfrog_jit(lat, params, states, Nt, dt, tracked_iters,
         params, states, jnp.asarray(dt))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def _tracked_accept_jit(lat, params, states, proposal, measure=True,
-                        params_axis=None, cheap=False):
+                        params_axis=None, cheap=False,
+                        exact_solver="qdwh"):
     from ..models.observables_real import measure_observables_real
     from ..sampler.hmc_real import tracked_accept, tracked_accept_cheap
 
-    accept_fn = tracked_accept_cheap if cheap else tracked_accept
-    fn = lambda p, s, prop: accept_fn(lat, p, s, prop)  # noqa: E731
+    if cheap:
+        fn = lambda p, s, prop: tracked_accept_cheap(lat, p, s, prop)  # noqa: E731
+    else:
+        fn = lambda p, s, prop: tracked_accept(lat, p, s, prop,  # noqa: E731
+                                               exact_solver)
     states, info = jax.vmap(fn, in_axes=(params_axis, 0, 0))(
         params, states, proposal)
     obs = None
@@ -272,7 +276,7 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                         measure=True, params_axis=None, dt_axis=None,
                         tracked_iters=6, anchor_every=1, refine_iters=12,
                         polish_iters=4, ns_steps=2, rot_dtype=None,
-                        max_fused=8):
+                        max_fused=8, exact_solver="qdwh"):
     """Host-sequenced tracked segment; same interface/results shape as
     run_segment_real(eigh_mode="tracked") but crash-safe on the target
     compiler.
@@ -323,7 +327,8 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                                              rot_dtype)
             states, info, obs = _tracked_accept_jit(lat, params, states,
                                                     proposal, measure,
-                                                    params_axis, False)
+                                                    params_axis, False,
+                                                    exact_solver)
             record(info.accepted[None], info.dH[None],
                    None if not measure
                    else jax.tree.map(lambda x: x[None], obs))
@@ -362,7 +367,8 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                 record(*recs)
             states, info, obs = _tracked_accept_jit(lat, params, states,
                                                     proposal, measure,
-                                                    params_axis, False)
+                                                    params_axis, False,
+                                                    exact_solver)
             record(info.accepted[None], info.dH[None],
                    None if not measure
                    else jax.tree.map(lambda x: x[None], obs))

@@ -247,8 +247,20 @@ def tracked_accept_cheap(lat: LatticeSpec, params: ModelParams,
                                 H_new=H_new)
 
 
+def _exact_diagonalize(M, solver: str = "qdwh"):
+    """Anchor/init eigensolver switch: "qdwh" = XLA's eigh on the full
+    embedding, "ph" = the PH-split half-dimension solver
+    (ops/ph_eigh.diagonalize_embedding_ph — ~8x less eigh work)."""
+    if solver == "ph":
+        from ..ops.ph_eigh import diagonalize_embedding_ph
+
+        return diagonalize_embedding_ph(M)
+    return diagonalize_embedding(M)
+
+
 def tracked_accept(lat: LatticeSpec, params: ModelParams,
-                   state: HMCStateReal, proposal
+                   state: HMCStateReal, proposal,
+                   exact_solver: str = "qdwh"
                    ) -> tuple[HMCStateReal, SweepInfo]:
     """Phase 2: exact embedding eigh of the proposal, difference-based ΔH,
     Metropolis select.  Runs as its own program (see tracked_leapfrog)."""
@@ -266,7 +278,7 @@ def tracked_accept(lat: LatticeSpec, params: ModelParams,
     M_static = static_embedding(lat, params.t, params.tp, params.mu,
                                 state.disorder)
     M = assemble_embedding(lat, M_static, dre_s, dim_s)
-    evals_n, X_n, Y_n = diagonalize_embedding(M)
+    evals_n, X_n, Y_n = _exact_diagonalize(M, exact_solver)
 
     d_kin = jnp.sum(pre**2 + pim**2 - pi_re0**2 - pi_im0**2) / (2.0 * mass)
     d_bos = (beta / (2.0 * J)) * jnp.sum(

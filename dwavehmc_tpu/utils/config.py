@@ -56,6 +56,10 @@ class RunConfig:
     #                                 (4 reaches the same bias floor as 6:
     #                                 max dH err 1.21e-3 measured on TPU;
     #                                 2 degrades to 4.3e-3)
+    exact_solver: str = "qdwh"      # anchor/init exact eigensolver:
+    #                                 "qdwh" (XLA eigh on the full
+    #                                 embedding) | "ph" (PH-split
+    #                                 half-dimension solver, ops/ph_eigh)
     rot_dtype: str = "float32"      # "float32" | "bfloat16": storage dtype of
     #                                 in-trajectory tracked rotations (bf16 is
     #                                 ~1.2x faster at 24x24/b64, bias-validated;

@@ -131,3 +131,35 @@ def test_ph_eigh_nonfinite_guard():
     w, X, Y = diagonalize_embedding_ph(M)
     # output may be garbage but must be finite-shaped, not crash
     assert w.shape[0] == M.shape[0] // 2
+
+
+def test_tracked_segment_ph_anchor_matches_qdwh():
+    """run_segment_tracked(exact_solver="ph") must reproduce the QDWH-
+    anchored segment: same acceptances and dH to solver tolerance (the
+    anchor eigensolvers agree to ~1e-5, so Metropolis decisions coincide
+    except on razor-edge proposals — none at this scale)."""
+    import jax.numpy as jnp
+
+    from dwavehmc_tpu.models.params import make_params
+    from dwavehmc_tpu.parallel.ensemble import (
+        init_ensemble_real,
+        run_segment_tracked,
+    )
+
+    lat = LatticeSpec(6, 6)
+    params = make_params(t=1.0, tp=-0.35, mu=-1.08, W=0.5, n_imp=0.05,
+                         beta=5.0, J=0.8, mass=1.0)
+    states = init_ensemble_real(lat, params, jax.random.PRNGKey(3), 2,
+                                dtype=jnp.float32, n_imp=0.05)
+    dt = jnp.full((2,), 0.05, dtype=jnp.float32)
+
+    outs = {}
+    for solver in ("qdwh", "ph"):
+        st, seg = run_segment_tracked(lat, params, states, 4, 5, dt,
+                                      True, None, 0, 6, 1, 12, 4, 2, None,
+                                      8, solver)
+        outs[solver] = (np.asarray(seg.accepted), np.asarray(seg.dH),
+                        np.asarray(st.evals))
+    np.testing.assert_array_equal(outs["ph"][0], outs["qdwh"][0])
+    np.testing.assert_allclose(outs["ph"][1], outs["qdwh"][1], atol=2e-4)
+    np.testing.assert_allclose(outs["ph"][2], outs["qdwh"][2], atol=1e-4)
