@@ -304,6 +304,11 @@ def main():
         "baseline_note": ("vs documented CPU estimate "
                           "(reference publishes no numbers)"),
         "acceptance": round(r["acceptance"], 3),
+        # traj/s × acceptance: the rate of ACCEPTED trajectories — the
+        # number that actually measures sampling progress (the raw
+        # headline value alone can drift up while acceptance drifts down)
+        "effective_traj_per_sec": round(r["traj_per_sec"]
+                                        * r["acceptance"], 3),
         "eigh_mode": best_mode,
         "modes": {m: {k2: v2 for k2, v2 in
                       (("traj_per_sec", round(v["traj_per_sec"], 3)),

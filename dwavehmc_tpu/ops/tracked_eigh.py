@@ -142,11 +142,18 @@ def tracked_step(hr, hi, ur, ui, parity=0, precision=None, ns_steps=2,
     operands — measured in-program at (64,1152,1152), bf16 matmuls run
     1.44× faster than f32-default (89 vs 62 TF/s; the chip's achievable
     rate at this shape, not the nominal 197 peak).  The S-matrix
-    construction (gaps, angles, phases) stays in the carry dtype: the
-    level gaps (~1e-2) sit below bf16 resolution of the eigenvalues
-    (~5·2⁻⁸ ≈ 2e-2), so the elementwise math would otherwise lose the
-    rotation targeting entirely.  The basis floor becomes the bf16
-    epsilon — callers that feed Metropolis must re-polish in f32.
+    elementwise math (gaps, angles, phases) is cast back to f32 — note
+    this only protects the *subsequent arithmetic*: the projected
+    diagonal ``d`` comes out of the bf16 ``_project_T`` matmuls, so the
+    level gaps (~1e-2) are already quantized at bf16 output resolution
+    (~5·2⁻⁸ ≈ 2e-2) before the cast.  The rotation targeting therefore
+    runs on noisy gaps under bf16 — empirically harmless
+    (cheap_anchor_validation_bf16.json: bias unchanged) because a
+    mis-sized rotation only slows convergence, and the endpoint
+    refine+polish always re-projects in f32.  The basis floor becomes
+    the bf16 epsilon — callers that feed Metropolis must re-polish in
+    f32; if exact bf16 gap resolution ever matters, compute the
+    projection diagonal in f32.
     """
     del parity
     if rot_dtype is not None:
