@@ -55,6 +55,26 @@ import numpy as np
 #: O(1), after which cubic Newton–Schulz converges quadratically to ±1.
 _LIFT_ABC = (3.4445, -4.7750, 2.0315)
 
+#: interval-minimax quintic schedule for |E|min/‖M‖ ≥ 1e-4: step k is the
+#: Remez-optimal odd quintic on the image interval of step k−1 (each
+#: optimized on [l, 1.02·u] so a 2% eigenvalue overshoot from matmul
+#: roundoff stays inside the contraction basin).  8 steps map
+#: [1e-4, 1] → [1∓1e-4]; ~29% fewer matmuls than the fixed-coefficient
+#: lift for the same final sign error (measured 3.5e-6 vs the f64 oracle
+#: on a disordered 12×12 instance, f32 matrix arithmetic, +3 NS steps).
+#: Regenerate with a different floor via the Remez snippet in
+#: docs/design.md if production spectra ever close below 1e-4·‖M‖.
+_MINIMAX_1E4 = (
+    (8.343110, -23.807440, 16.985931),
+    (4.166570, -2.973269, 0.530697),
+    (4.144213, -2.958548, 0.529126),
+    (4.054061, -2.898972, 0.522773),
+    (3.726292, -2.679203, 0.499390),
+    (2.894461, -2.090888, 0.437608),
+    (2.039772, -1.392130, 0.369176),
+    (1.858544, -1.214845, 0.356354),
+)
+
 
 def ph_reflect(V):
     """Apply the PH map S to eigenvector columns: (4N, k) → (4N, k).
@@ -72,25 +92,28 @@ def _matmul(a, b, precision=None):
     return jnp.matmul(a, b, precision=precision or jax.lax.Precision.HIGHEST)
 
 
-def sign_embedding(M, n_lift: int = 10, n_ns: int = 4,
+def sign_embedding(M, n_lift: int | None = None, n_ns: int = 3,
                    lift_precision=jax.lax.Precision.HIGHEST):
     """Matrix sign function of a symmetric M with spectrum bounded away
     from 0, via scaled polynomial iteration (matmuls only).
 
-    ``n_lift`` quintic steps handle |E|min/‖M‖ down to ~3.44^−n_lift
-    (n_lift=10 → 4e-6); ``n_ns`` Newton–Schulz steps contract the
-    residual quadratically to the f32 floor.  ``lift_precision`` applies
-    to the lift phase only (HIGH = 3-pass bf16 is ~2× the HIGHEST MXU
-    rate; cleanup always runs HIGHEST so the converged sign — and hence
-    the subspace split — reaches the f32 floor).
+    ``n_lift=None`` (default) uses the 8-step interval-minimax schedule
+    (valid for |E|min/‖M‖ ≥ 1e-4); an integer selects n fixed-coefficient
+    lift steps instead (handles |E|min/‖M‖ down to ~3.44^−n — the slower,
+    arbitrarily-deep fallback).  ``n_ns`` Newton–Schulz steps contract
+    the residual quadratically to the f32 floor.  ``lift_precision``
+    applies to the lift phase only (HIGH = 3-pass bf16 is ~2× the
+    HIGHEST MXU rate; cleanup always runs HIGHEST so the converged sign
+    — and hence the subspace split — reaches the f32 floor).
     """
     # guaranteed spectral bound: ‖M‖₂ ≤ ‖M‖∞ (row-sum); an underestimate
     # would let the quintic diverge, so a cheap exact bound beats a tight
     # power-iteration estimate here
     lam = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)[..., None, None]
     X = M / lam
-    a, b, c = _LIFT_ABC
-    for _ in range(n_lift):
+    sched = (_MINIMAX_1E4 if n_lift is None
+             else (_LIFT_ABC,) * n_lift)
+    for a, b, c in sched:
         X2 = _matmul(X, X, lift_precision)
         X = a * X + _matmul(X2, b * X + c * _matmul(X2, X, lift_precision),
                             lift_precision)
@@ -164,7 +187,7 @@ def positive_basis(M, sgn, orth: str = "chol"):
     return cholqr2(Y) if orth == "chol" else orth_ns(Y)
 
 
-def diagonalize_embedding_ph(M, n_lift: int = 10, n_ns: int = 4,
+def diagonalize_embedding_ph(M, n_lift: int | None = None, n_ns: int = 3,
                              orth: str = "chol",
                              lift_precision=jax.lax.Precision.HIGHEST):
     """Drop-in replacement for models/bdg_real.diagonalize_embedding:

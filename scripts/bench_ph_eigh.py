@@ -62,7 +62,9 @@ def main():
     p.add_argument("--L", type=int, default=16)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--reps", type=int, default=3)
-    p.add_argument("--n_lift", type=int, default=10)
+    p.add_argument("--n_lift", type=int, default=None,
+                   help="fixed-coefficient lift steps; default = the "
+                        "8-step minimax schedule")
     p.add_argument("--orth", default="chol")
     p.add_argument("--lift_prec", default="high",
                    choices=("default", "high", "highest"))
