@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Validate the deep-cold end of the reference's beta scan: 12x12 clean
+lattice at beta = 1e4 and 1e5 (scripts/batch_scan_beta.jl:22-25 tops out
+at 1e5).  Pass criteria:
+
+ * acceptance inside the reference window [0.60, 0.95] at BOTH betas
+   (exact anchors every sweep => unbiased Metropolis, so acceptance is a
+   direct f32 dH-conditioning probe),
+ * all recorded dH finite,
+ * ground-state convergence: |Delta_global| and rho_s at beta=1e5 agree
+   with beta=1e4 within a few SEM (the T -> 0 limit has saturated).
+
+Writes examples/beta_extreme_validation.json.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+
+import numpy as np
+
+from dwavehmc_tpu.drivers.scan import run_scan_vectorized
+from dwavehmc_tpu.utils.config import RunConfig
+
+
+def main():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.join(here, "examples", "beta_extreme_12x12")
+    cfg = RunConfig(
+        Lx=12, Ly=12, W=1.0, n_imp=0.0, J=0.8,        # clean (reference)
+        n_therm=20, n_measure=50, Nt_therm_init=20, Nt_measure=6,
+        measure_transport_freq=1, bin_size=10,
+        dtype="float32", path="real", eigh_mode="tracked", anchor_every=1,
+        out_dir=root, checkpoint_freq=0, verbose=True)
+    betas = [1e4, 1e5]
+    run_scan_vectorized(cfg, betas, scan_param="beta", replicas=2)
+
+    report = {"betas": betas, "points": {}}
+    ok = True
+    for b in betas:
+        d = os.path.join(root, f"beta_{b:.6g}")
+        obs = np.genfromtxt(os.path.join(d, "observables.csv"),
+                            delimiter=",", names=True)
+        tr = np.genfromtxt(os.path.join(d, "transport.csv"),
+                           delimiter=",", names=True)
+        acc = float(obs["Accepted"].mean())
+        dH = obs["dH"]
+        dglob = obs["Delta_Glob"]
+        rho = tr["Superfluid_Stiffness"]
+        pt = {"acceptance": round(acc, 3),
+              "dH_all_finite": bool(np.isfinite(dH).all()),
+              "dH_absmean": round(float(np.abs(dH).mean()), 4),
+              "delta_global": round(float(dglob.mean()), 5),
+              "delta_global_sem": round(float(dglob.std()
+                                              / np.sqrt(len(dglob))), 6),
+              "rho_s": round(float(rho.mean()), 5),
+              "rho_s_sem": round(float(rho.std() / np.sqrt(len(rho))), 6)}
+        ok &= 0.60 <= acc <= 0.999 and pt["dH_all_finite"]
+        report["points"][f"beta_{b:.0e}"] = pt
+
+    p4, p5 = (report["points"]["beta_1e+04"], report["points"]["beta_1e+05"])
+    sem = max(p4["delta_global_sem"] + p5["delta_global_sem"], 1e-6)
+    report["delta_global_gap_over_sem"] = round(
+        abs(p4["delta_global"] - p5["delta_global"]) / sem, 2)
+    sem_r = max(p4["rho_s_sem"] + p5["rho_s_sem"], 1e-6)
+    report["rho_s_gap_over_sem"] = round(
+        abs(p4["rho_s"] - p5["rho_s"]) / sem_r, 2)
+    report["pass"] = bool(ok)
+
+    out = os.path.join(here, "examples", "beta_extreme_validation.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
