@@ -131,6 +131,7 @@ def main():
     # a standard QDWH-ish constant — documented, approximate)
     eigh_ms = None
     eigh_tflops = None
+    eigh_ph_ms = None
     if os.environ.get("BENCH_SKIP_EIGH", "0") != "1":
         try:
             if path == "real":
@@ -180,6 +181,32 @@ def main():
             eigh_tflops = flop_k * batch * dim**3 / (eigh_ms * 1e-3) / 1e12
             log(f"batched eigh ({batch},{dim},{dim}): {eigh_ms:.2f} ms "
                 f"(~{eigh_tflops:.2f} TFLOP/s effective)")
+
+            # PH-split solver on the same problem (real path only): the
+            # effective-TFLOP/s convention stays the QDWH one, so the
+            # ratio is a true same-work speedup
+            if path == "real":
+                from dwavehmc_tpu.ops.ph_eigh import diagonalize_embedding_ph
+
+                def batched_eigh_ph(p, dre, dim_, disorder):
+                    def one(dr, di, w):
+                        Ms = static_embedding(lat, p.t, p.tp, p.mu, w)
+                        return diagonalize_embedding_ph(
+                            assemble_embedding(lat, Ms, dr, di))[0]
+                    return jax.vmap(one)(dre, dim_, disorder)
+
+                fp = jax.jit(batched_eigh_ph)
+                e = fp(*args)
+                _ = np.asarray(e)
+                t0 = time.perf_counter()
+                for _ in range(n_eigh):
+                    e = fp(*args)
+                _ = np.asarray(e)
+                eigh_ph_ms = (time.perf_counter() - t0) / n_eigh * 1e3
+                log(f"PH-split eigh ({batch},{dim},{dim}): "
+                    f"{eigh_ph_ms:.2f} ms ({eigh_ms/eigh_ph_ms:.2f}x QDWH; "
+                    f"~{flop_k*batch*dim**3/(eigh_ph_ms*1e-3)/1e12:.2f} "
+                    f"TFLOP/s at same-work convention)")
         except Exception as e:  # noqa: BLE001 — sub-bench must not kill headline
             log(f"eigh sub-bench failed: {type(e).__name__}: {e}")
 
@@ -319,6 +346,9 @@ def main():
                   for m, v in results.items()},
         "eigh_ms": None if eigh_ms is None else round(eigh_ms, 3),
         "eigh_tflops_eff": None if eigh_tflops is None else round(eigh_tflops, 2),
+        "eigh_ph_ms": None if eigh_ph_ms is None else round(eigh_ph_ms, 3),
+        "eigh_ph_speedup": (None if (eigh_ph_ms is None or eigh_ms is None)
+                            else round(eigh_ms / eigh_ph_ms, 2)),
         "device": str(dev),
         "times_s": r["times_s"],
     }))
