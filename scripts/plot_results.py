@@ -134,23 +134,35 @@ def main():
                 ax.errorbar(x, col(c), yerr=col(c.replace("_mean", "_sem")),
                             marker="o", ms=3, label=lbl)
 
-        # log-log power-law fit of Δ_pair vs the scan value (the analysis
-        # from the reference's plot_stiffness.ipynb notebooks, SURVEY S20)
-        if "Delta_Pair_mean" in rows[0]:
+        # log-log power-law fit, matching the reference's
+        # plot_stiffness.ipynb analysis exactly (SURVEY S20): the ratio
+        # Δ_localpair/Δ_loc restricted to the high-T tail T > 10 (the
+        # notebook's mask), where the pairing is thermal-fluctuation-
+        # dominated and a clean power law holds.
+        if ("Delta_LocalPair_mean" in rows[0]
+                and "Delta_Loc_mean" in rows[0]):
             from dwavehmc_tpu.drivers.postprocess import fit_power_law
 
             try:
-                a, b, n_used = fit_power_law(x, col("Delta_Pair_mean"))
-                xs = np.logspace(np.log10(x[x > 0].min()),
-                                 np.log10(x.max()), 50)
+                ratio = col("Delta_LocalPair_mean") / col("Delta_Loc_mean")
+                mask = x > 10
+                window = f"{name} > 10"
+                if mask.sum() < 2:     # short scans: fit the whole range
+                    mask = np.ones_like(x, dtype=bool)
+                    window = "all points"
+                a, b, n_used = fit_power_law(x[mask], ratio[mask])
+                xs = np.logspace(np.log10(x[mask].min()),
+                                 np.log10(x[mask].max()), 50)
                 ax.plot(xs, a * xs**b, "k:", lw=1,
-                        label=rf"fit $\Delta_{{pair}} \propto "
+                        label=rf"fit $\Delta_{{lp}}/\Delta_{{loc}} \propto "
                               rf"{name}^{{{b:.3f}}}$")
-                print(f"power-law fit: Delta_Pair ~ {a:.4g} * "
-                      f"{name}^{b:.4f} ({n_used} points)")
+                print(f"power-law fit: Delta_LocalPair/Delta_Loc ~ "
+                      f"{a:.4g} * {name}^{b:.4f} ({n_used} points, "
+                      f"{window} window)")
                 import json as _json
                 with open(os.path.join(out, "powerlaw_fit.json"), "w") as f:
-                    _json.dump({"observable": "Delta_Pair", "vs": name,
+                    _json.dump({"observable": "Delta_LocalPair/Delta_Loc",
+                                "vs": name, "window": window,
                                 "prefactor": a, "exponent": b,
                                 "n_points": n_used}, f, indent=2)
             except ValueError as e:
