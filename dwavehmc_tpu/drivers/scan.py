@@ -19,6 +19,7 @@ Rebuilds scripts/batch_scan_T.jl / batch_scan_beta.jl two ways:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 
 import jax
@@ -271,7 +272,8 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                 del anchor_every
                 return run_segment_real_jit(lt, p, s, n, Nt, dt, measure,
                                             pa, da, cfg.eigh_mode)
-        init_fn = init_ensemble_real
+        init_fn = functools.partial(init_ensemble_real,
+                                    exact_solver=cfg.exact_solver)
         transport_fn = ensemble_transport_real_jit
     else:
         def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da, anchor_every=None):

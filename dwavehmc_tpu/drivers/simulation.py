@@ -18,6 +18,7 @@ Behavioral parity:
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 
@@ -101,7 +102,8 @@ def run_simulation(cfg: RunConfig) -> dict:
                 del anchor_every
                 return run_segment_real_jit(lt, p, s, n, Nt, dt, measure,
                                             pa, None, cfg.eigh_mode)
-        init_fn = init_ensemble_real
+        init_fn = functools.partial(init_ensemble_real,
+                                    exact_solver=cfg.exact_solver)
         transport_fn = ensemble_transport_real_jit
     else:
         def seg_fn(lt, p, s, n, Nt, dt, measure, pa, anchor_every=None):

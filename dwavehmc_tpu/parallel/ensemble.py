@@ -125,12 +125,14 @@ def ensemble_transport(lat: LatticeSpec, spec: SpectralSpec,
 
 def init_ensemble_real(lat: LatticeSpec, params: ModelParams, key,
                        n_chains: int, *, dtype=jnp.float32,
-                       n_imp: float = 0.0, mesh: Mesh | None = None):
+                       n_imp: float = 0.0, mesh: Mesh | None = None,
+                       exact_solver: str = "qdwh"):
     from ..sampler.hmc_real import init_chain_state_real
 
     keys = jax.random.split(key, n_chains)
     init = functools.partial(init_chain_state_real, lat, params,
-                             dtype=dtype, n_imp=n_imp)
+                             dtype=dtype, n_imp=n_imp,
+                             exact_solver=exact_solver)
     states = jax.vmap(init)(keys)
     if mesh is not None:
         states = shard_ensemble(states, mesh)

@@ -53,7 +53,8 @@ def from_complex_state(state) -> HMCStateReal:
 def init_chain_state_real(lat: LatticeSpec, params: ModelParams, key, *,
                           dtype=jnp.float32, n_imp: float | None = None,
                           delta0_re=None, delta0_im=None,
-                          disorder=None) -> HMCStateReal:
+                          disorder=None,
+                          exact_solver: str = "qdwh") -> HMCStateReal:
     from ..models.params import sample_disorder
 
     k_dis, k_delta, k_chain = jax.random.split(key, 3)
@@ -72,7 +73,7 @@ def init_chain_state_real(lat: LatticeSpec, params: ModelParams, key, *,
     M = assemble_embedding(
         lat, static_embedding(lat, params.t, params.tp, params.mu, disorder),
         delta0_re, delta0_im)
-    evals, X, Y = diagonalize_embedding(M)
+    evals, X, Y = _exact_diagonalize(M, exact_solver)
     z = jnp.zeros_like(delta0_re)
     return HMCStateReal(delta0_re, delta0_im, z, z, disorder,
                         evals, X, Y, k_chain)

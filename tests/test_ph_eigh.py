@@ -163,3 +163,24 @@ def test_tracked_segment_ph_anchor_matches_qdwh():
     np.testing.assert_array_equal(outs["ph"][0], outs["qdwh"][0])
     np.testing.assert_allclose(outs["ph"][1], outs["qdwh"][1], atol=2e-4)
     np.testing.assert_allclose(outs["ph"][2], outs["qdwh"][2], atol=1e-4)
+
+
+def test_init_chain_state_ph_matches_qdwh():
+    """init_chain_state_real(exact_solver="ph") must produce the same
+    starting spectrum as the QDWH init (plumbing: hmc_real.py
+    init_chain_state_real -> _exact_diagonalize)."""
+    from dwavehmc_tpu.models.params import make_params
+    from dwavehmc_tpu.sampler.hmc_real import init_chain_state_real
+
+    lat = LatticeSpec(6, 6)
+    params = make_params(t=1.0, tp=-0.35, mu=-1.08, W=0.5, n_imp=0.05,
+                         beta=5.0, J=0.8, mass=1.0)
+    key = jax.random.PRNGKey(7)
+    s_q = init_chain_state_real(lat, params, key, dtype=jnp.float32,
+                                n_imp=0.05)
+    s_p = init_chain_state_real(lat, params, key, dtype=jnp.float32,
+                                n_imp=0.05, exact_solver="ph")
+    np.testing.assert_array_equal(np.asarray(s_q.delta_re),
+                                  np.asarray(s_p.delta_re))
+    np.testing.assert_allclose(np.sort(np.asarray(s_p.evals)),
+                               np.sort(np.asarray(s_q.evals)), atol=1e-4)
