@@ -126,7 +126,9 @@ DT_MIN_FACTOR = 0.05
 def adapt_dts(dts: np.ndarray, acc: np.ndarray, dt0: np.ndarray,
               lo: float = 0.60, hi: float = 0.95, shrink: float = 0.7,
               grow: float = 1.1, max_factor: float = 4.0,
-              min_factor: float = DT_MIN_FACTOR) -> np.ndarray:
+              min_factor: float = DT_MIN_FACTOR,
+              med_absdH: np.ndarray | None = None,
+              dH_target: float = 0.5) -> np.ndarray:
     """Per-chain step-size controller for the vectorized scan.
 
     The reference's thermalization controller retunes (Nt, dt) per point
@@ -137,8 +139,24 @@ def adapt_dts(dts: np.ndarray, acc: np.ndarray, dt0: np.ndarray,
     window shrinks dt (floored at ``min_factor``·dt0), above it grows dt
     (bounded by ``max_factor``·dt0) to trade surplus acceptance for longer
     trajectories.
+
+    When the window's per-chain median |dH| is supplied, the shrink side
+    uses the leapfrog second-order law |dH| ∝ dt² (measured on hardware
+    at β=1e4: examples/beta_dt_probe.json, |dH| falls 23× over a 4× dt
+    reduction), jumping straight toward the dt whose error is
+    ``dH_target``: dt ← dt·√(dH_target/|dH|), trust-bounded to ≥0.25×
+    per window.  The fixed 0.7× nudge alone cannot rescue deep-cold
+    points — at β=1e4 the needed shrink is ~8× and a 20-sweep schedule
+    offers only four windows.
     """
-    dts = np.where(acc < lo, np.maximum(dts * shrink, dt0 * min_factor), dts)
+    if med_absdH is not None:
+        f = np.sqrt(dH_target / np.maximum(med_absdH, 1e-6))
+        down = np.clip(np.minimum(f, shrink), 0.25, 1.0)
+        dts = np.where(acc < lo, np.maximum(dts * down, dt0 * min_factor),
+                       dts)
+    else:
+        dts = np.where(acc < lo, np.maximum(dts * shrink, dt0 * min_factor),
+                       dts)
     dts = np.where(acc > hi, np.minimum(dts * grow, dt0 * max_factor), dts)
     return dts
 
@@ -362,7 +380,9 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                              anchor_every=1)
         done += n
         acc_chain = np.asarray(seg.accepted).mean(axis=0)   # (n_run,)
-        dts = adapt_dts(dts, acc_chain, dt0)
+        dts = adapt_dts(dts, acc_chain, dt0,
+                        med_absdH=np.median(
+                            np.abs(np.asarray(seg.dH)), axis=0))
         log(f"Therm probe {done}/{cfg.n_therm}: acc "
             f"[{acc_chain.min():.2f}, {acc_chain.max():.2f}]")
 
@@ -408,13 +428,20 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                     log(f"Therm {done_b}/{cfg.n_therm} bucket Nt={Nt_b}: "
                         f"min acc={acc_b.min():.2f} -> re-escalating to "
                         f"Nt={Nt_cur}")
+                    # preserve the learned per-chain shrink across the
+                    # escalation — resetting it re-runs the whole search
+                    # (observed: deep-cold points ended therm at factor
+                    # 0.7 instead of the needed 0.12 before this fix)
+                    ratio = dts_b / dt0_b
                     dt0_b = np.asarray(
                         [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_cur)
                          for b in beta_per_chain[rows]])
-                    dts_b = dt0_b.copy()
+                    dts_b = dt0_b * ratio
                     Nt_chain[rows] = Nt_cur
                     continue
-                dts_b = adapt_dts(dts_b, acc_b, dt0_b)
+                dts_b = adapt_dts(dts_b, acc_b, dt0_b,
+                                  med_absdH=np.median(
+                                      np.abs(np.asarray(seg.dH)), axis=0))
             merged.append((rows, st_b, dts_b, dt0_b, acc_b))
             log(f"Therm bucket Nt={Nt_cur} done ({len(pts)} point(s)), "
                 f"acc [{acc_b.min():.2f}, {acc_b.max():.2f}]")

@@ -55,24 +55,31 @@ import numpy as np
 #: O(1), after which cubic Newton–Schulz converges quadratically to ±1.
 _LIFT_ABC = (3.4445, -4.7750, 2.0315)
 
-#: interval-minimax quintic schedule for |E|min/‖M‖ ≥ 1e-4: step k is the
-#: Remez-optimal odd quintic on the image interval of step k−1 (each
-#: optimized on [l, 1.02·u] so a 2% eigenvalue overshoot from matmul
-#: roundoff stays inside the contraction basin).  8 steps map
-#: [1e-4, 1] → [1∓1e-4]; ~29% fewer matmuls than the fixed-coefficient
-#: lift for the same final sign error (measured 3.5e-6 vs the f64 oracle
-#: on a disordered 12×12 instance, f32 matrix arithmetic, +3 NS steps).
+#: interval-minimax quintic schedule for |E|min/‖M‖ ≥ 1e-5: step k is the
+#: Remez-optimal odd quintic on the image interval of step k−1, each
+#: optimized on [l, 1.05·u] — the 5% overshoot margin is what keeps the
+#: composition inside the contraction basin under NOISY matmuls: the
+#: spectral perturbation from entrywise matmul roundoff scales like
+#: √dim·ε_elem, which at dim 4608 with bf16×3-pass ("HIGH") arithmetic
+#: reaches the percent range (an earlier 8-step/1.02-margin/1e-4-floor
+#: schedule NaN'd stochastically at (64,2304,2304) on hardware via
+#: exactly this mechanism; eigenvalues pushed past the basin edge
+#: diverge under composition).  10 steps map [1e-5, 1] → [1∓6e-5], and a
+#: worst-case composition with 2%-per-step multiplicative noise stays
+#: within 0.021 of ±1 (Newton–Schulz cleanup contracts anything < 0.3).
 #: Regenerate with a different floor via the Remez snippet in
-#: docs/design.md if production spectra ever close below 1e-4·‖M‖.
-_MINIMAX_1E4 = (
-    (8.343110, -23.807440, 16.985931),
-    (4.166570, -2.973269, 0.530697),
-    (4.144213, -2.958548, 0.529126),
-    (4.054061, -2.898972, 0.522773),
-    (3.726292, -2.679203, 0.499390),
-    (2.894461, -2.090888, 0.437608),
-    (2.039772, -1.392130, 0.369176),
-    (1.858544, -1.214845, 0.356354),
+#: docs/design.md if production spectra ever close below 1e-5·‖M‖.
+_MINIMAX_1E5 = (
+    (8.108458, -21.837891, 14.703751),
+    (4.053782, -2.729520, 0.459486),
+    (4.051804, -2.728312, 0.459370),
+    (4.043810, -2.723430, 0.458899),
+    (4.011801, -2.703853, 0.457013),
+    (3.888355, -2.627951, 0.449713),
+    (3.475152, -2.368622, 0.424954),
+    (2.595839, -1.776606, 0.370504),
+    (1.923282, -1.243587, 0.330214),
+    (1.830378, -1.161187, 0.330860),
 )
 
 
@@ -98,7 +105,7 @@ def sign_embedding(M, n_lift: int | None = None, n_ns: int = 3,
     from 0, via scaled polynomial iteration (matmuls only).
 
     ``n_lift=None`` (default) uses the 8-step interval-minimax schedule
-    (valid for |E|min/‖M‖ ≥ 1e-4); an integer selects n fixed-coefficient
+    (valid for |E|min/‖M‖ ≥ 1e-5); an integer selects n fixed-coefficient
     lift steps instead (handles |E|min/‖M‖ down to ~3.44^−n — the slower,
     arbitrarily-deep fallback).  ``n_ns`` Newton–Schulz steps contract
     the residual quadratically to the f32 floor.  ``lift_precision``
@@ -111,7 +118,7 @@ def sign_embedding(M, n_lift: int | None = None, n_ns: int = 3,
     # power-iteration estimate here
     lam = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)[..., None, None]
     X = M / lam
-    sched = (_MINIMAX_1E4 if n_lift is None
+    sched = (_MINIMAX_1E5 if n_lift is None
              else (_LIFT_ABC,) * n_lift)
     for a, b, c in sched:
         X2 = _matmul(X, X, lift_precision)
