@@ -142,6 +142,35 @@ def test_adapt_dts_controller():
     assert not healthy.any()
 
 
+def test_adapt_dts_second_order():
+    """With the window's median |dH| supplied, the controller uses the
+    leapfrog law |dH| ~ dt^2 (hardware-measured: examples/
+    beta_dt_probe.json) to jump toward the in-window dt instead of
+    nudging 0.7x: a deep-cold chain at |dH| = 18 must shrink by the full
+    0.25x trust bound in ONE window; the law only ever STRENGTHENS the
+    shrink (min(f, 0.7)) so a below-window chain never shrinks slower
+    than the first-order controller."""
+    from dwavehmc_tpu.drivers.scan import adapt_dts
+
+    dt0 = np.array([0.1, 0.1, 0.1])
+    dts = dt0.copy()
+    acc = np.array([0.05, 0.4, 0.8])
+    dH = np.array([18.0, 0.9, 0.2])
+    out = adapt_dts(dts, acc, dt0, med_absdH=dH)
+    assert out[0] == dts[0] * 0.25            # trust-bounded full jump
+    np.testing.assert_allclose(out[1], dts[1] * 0.7,
+                               rtol=1e-6)     # law weaker than 0.7: nudge
+    assert out[2] == dts[2]                   # in-window: untouched
+    # law stronger than the nudge: sqrt(0.5/2.0) = 0.5 < 0.7 wins
+    mid = adapt_dts(dts, acc, dt0,
+                    med_absdH=np.array([2.0, 2.0, 2.0]))
+    np.testing.assert_allclose(mid[0], dts[0] * 0.5, rtol=1e-6)
+    # shrink never weaker than the first-order 0.7 nudge when below lo
+    weak = adapt_dts(dts, np.array([0.1, 0.1, 0.1]), dt0,
+                     med_absdH=np.array([0.6, 0.6, 0.6]))
+    assert np.all(weak <= dts * 0.7 + 1e-12)
+
+
 def test_nt_buckets_partition():
     """Probe-window acceptance partitions grid points into <=3 Nt buckets
     (per-point Nt retuning under jit's static-shape constraint; reference
