@@ -283,7 +283,8 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                                            cfg.refine_iters,
                                            cfg.polish_iters, 2,
                                            cfg.rot_jax_dtype(), 8,
-                                           cfg.exact_solver)
+                                           cfg.exact_solver,
+                                           cfg.polish_precision)
         else:
             def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da,
                        anchor_every=None):

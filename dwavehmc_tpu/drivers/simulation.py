@@ -95,7 +95,8 @@ def run_simulation(cfg: RunConfig) -> dict:
                                            cfg.refine_iters,
                                            cfg.polish_iters, 2,
                                            cfg.rot_jax_dtype(), 8,
-                                           cfg.exact_solver)
+                                           cfg.exact_solver,
+                                           cfg.polish_precision)
         else:
             def seg_fn(lt, p, s, n, Nt, dt, measure, pa,
                        anchor_every=None):

@@ -106,7 +106,7 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
                      state: HMCStateReal, Nt: int, dt,
                      tracked_iters: int = 6, refine_iters: int = 0,
                      polish_iters: int = 6, ns_steps: int = 2,
-                     rot_dtype=None):
+                     rot_dtype=None, polish_precision: str = "highest"):
     """Phase 1 of the split tracked sweep: momentum refresh + fully tracked
     leapfrog (no exact eigh anywhere — the target TPU compiler faults when
     the embedding eigh and the tracked matmul loop share one program).
@@ -188,9 +188,14 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
                 eval_precision="highest" if polish_iters == 0 else None)
         if polish_iters > 0:
             # phase 2: full-precision polish to the f32 floor +
-            # Metropolis-grade eigenvalue readout
+            # Metropolis-grade eigenvalue readout.  ``polish_precision``
+            # sets the ROTATION matmuls only ("high" = 3 MXU passes vs
+            # "highest" = 6): basis noise enters eigenvalues at second
+            # order (~res²/gap), so the readout — always "highest" — is
+            # what bounds the dH error.
             e_f, X_f, Y_f, res_end = tracked_eigh_nofallback(
-                hr, hi, X_f, Y_f, n_iter=polish_iters, precision="highest")
+                hr, hi, X_f, Y_f, n_iter=polish_iters,
+                precision=polish_precision, eval_precision="highest")
 
     return (dre, dim_, pre, pim, pi_re0, pi_im0, key,
             k_acc, jnp.max(res), e_f, X_f, Y_f, res_end)

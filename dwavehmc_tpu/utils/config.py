@@ -56,6 +56,11 @@ class RunConfig:
     #                                 (4 reaches the same bias floor as 6:
     #                                 max dH err 1.21e-3 measured on TPU;
     #                                 2 degrades to 4.3e-3)
+    polish_precision: str = "highest"  # matmul precision of the polish
+    #                                 ROTATIONS ("highest" = 6 MXU passes,
+    #                                 "high" = 3); the eigenvalue readout
+    #                                 is always "highest" (basis noise is
+    #                                 second-order in the dH error)
     exact_solver: str = "qdwh"      # anchor/init exact eigensolver:
     #                                 "qdwh" (XLA eigh on the full
     #                                 embedding) | "ph" (PH-split

@@ -49,6 +49,10 @@ def main():
     p.add_argument("--tracked_iters", type=int, default=6)
     p.add_argument("--refine_iters", type=int, default=12)
     p.add_argument("--polish_iters", type=int, default=6)
+    p.add_argument("--polish_precision", default="highest",
+                   choices=("highest", "high"),
+                   help="matmul precision of the polish rotations (the "
+                        "eigenvalue readout is always 'highest')")
     p.add_argument("--rot_dtype", default=None, choices=(None, "bfloat16"),
                    help="storage dtype of the in-trajectory rotations")
     p.add_argument("--therm", type=int, default=10)
@@ -100,7 +104,7 @@ def main():
         prop = _tracked_leapfrog_jit(lat, params, states_c, ns.Nt, dt,
                                      ns.tracked_iters, None, None,
                                      ns.refine_iters, ns.polish_iters,
-                                     2, rot)
+                                     2, rot, ns.polish_precision)
         _, info_cheap, _ = _tracked_accept_jit(lat, params, states_c, prop,
                                                False, None, True)
         states_c, info_exact, _ = _tracked_accept_jit(lat, params, states_c,
@@ -128,7 +132,8 @@ def main():
         st, seg = run_segment_tracked(lat, params, st, ns.sweeps, ns.Nt, dt,
                                       True, None, None, ns.tracked_iters,
                                       anchor_every, ns.refine_iters,
-                                      ns.polish_iters, 2, rot)
+                                      ns.polish_iters, 2, rot,
+                                      polish_precision=ns.polish_precision)
         wall = time.time() - t0
         o = seg.observables
         half = ns.sweeps // 2
@@ -161,7 +166,8 @@ def main():
     out = {
         "config": {k: getattr(ns, k) for k in
                    ("L", "batch", "beta", "J", "Nt", "anchor_every",
-                    "tracked_iters", "refine_iters", "polish_iters", "therm", "paired",
+                    "tracked_iters", "refine_iters", "polish_iters",
+                    "polish_precision", "therm", "paired",
                     "sweeps", "rot_dtype")},
         "device": str(jax.devices()[0]),
         "paired_dH": {

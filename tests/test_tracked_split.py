@@ -158,12 +158,13 @@ def test_program_step_budget_counts_anchor_leapfrog(monkeypatch):
 
     def spy(lat, params, states, n_cheap, Nt, dt, tracked_iters,
             refine_iters, measure=True, params_axis=None, dt_axis=None,
-            polish_iters=0, ns_steps=2, rot_dtype=None, final_leapfrog=True):
+            polish_iters=0, ns_steps=2, rot_dtype=None, final_leapfrog=True,
+            polish_precision="highest"):
         calls.append((n_cheap, Nt, final_leapfrog))
         return real_block(lat, params, states, n_cheap, Nt, dt,
                           tracked_iters, refine_iters, measure, params_axis,
                           dt_axis, polish_iters, ns_steps, rot_dtype,
-                          final_leapfrog)
+                          final_leapfrog, polish_precision)
 
     monkeypatch.setattr(ens, "_tracked_block_jit", spy)
 
@@ -193,3 +194,32 @@ def test_program_step_budget_counts_anchor_leapfrog(monkeypatch):
         steps = (n_cheap + (1 if final else 0)) * nt
         assert steps <= 54, (n_cheap, nt, final)
     assert sum(c for c, _, _ in calls) == 11   # 11 cheap + 1 anchored
+
+
+def test_polish_precision_plumbing_matches_on_cpu():
+    """polish_precision="high" (3-pass polish rotations) must flow through
+    the block runner; on CPU matmul precision flags are no-ops so the
+    result must equal the "highest" default exactly — this pins the
+    plumbing (wrong wiring, e.g. into the readout or the refine phase,
+    would still pass on CPU, but missing/shifted static args crash or
+    change cadence)."""
+    params = make_params(W=0.5, n_imp=0.25, beta=10.0, J=1.0,
+                         dtype=jnp.float64)
+    states0 = init_ensemble_real(LAT, params, jax.random.PRNGKey(5), 2,
+                                 dtype=jnp.float64, n_imp=0.25)
+    Nt = 3
+    dt = calc_optimal_dt(10.0, 1.0, 1.0, Nt)
+
+    def run(pp):
+        return run_segment_tracked(LAT, params, states0, 6, Nt, dt,
+                                   True, None, None, 6, 3, 6, 4, 2, None,
+                                   8, "qdwh", pp)
+
+    s_hi, seg_hi = run("highest")
+    s_h3, seg_h3 = run("high")
+    np.testing.assert_array_equal(np.asarray(seg_hi.accepted),
+                                  np.asarray(seg_h3.accepted))
+    np.testing.assert_allclose(np.asarray(seg_hi.dH),
+                               np.asarray(seg_h3.dH), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_hi.delta_re),
+                               np.asarray(s_h3.delta_re), atol=1e-14)
