@@ -107,7 +107,34 @@ def main():
     except Exception:  # noqa: BLE001
         pass
 
-    dev = jax.devices()[0]
+    # fail-fast preflight: the tunneled worker can be down (observed
+    # outage: registration succeeds but execution never returns, which
+    # would hang the driver's bench run forever).  Probe device creation
+    # + one tiny matmul in a watchdog thread; on deadline, emit a
+    # diagnostic JSON line and exit nonzero.
+    import threading
+
+    preflight_s = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", 300))
+    probe_out = {}
+
+    def _probe():
+        d = jax.devices()[0]
+        x = jnp.ones((64, 64))
+        probe_out["sum"] = float(np.asarray(x @ x)[0, 0])
+        probe_out["dev"] = d
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(preflight_s)
+    if th.is_alive() or "dev" not in probe_out:
+        print(json.dumps({
+            "metric": "hmc_trajectories_per_sec_per_chip",
+            "value": 0.0, "unit": "traj/s", "vs_baseline": 0.0,
+            "error": f"device preflight timed out after {preflight_s:.0f}s "
+                     "(remote TPU worker unreachable)"}))
+        os._exit(1)
+
+    dev = probe_out["dev"]
     log(f"bench: device={dev} batch={batch} L={L} Nt={Nt} sweeps={sweeps} "
         f"path={path}")
 
