@@ -284,7 +284,8 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                                            cfg.polish_iters, 2,
                                            cfg.rot_jax_dtype(), 8,
                                            cfg.exact_solver,
-                                           cfg.polish_precision)
+                                           cfg.polish_precision,
+                                           cfg.polish_correction)
         else:
             def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da,
                        anchor_every=None):

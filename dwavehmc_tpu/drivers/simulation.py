@@ -96,7 +96,8 @@ def run_simulation(cfg: RunConfig) -> dict:
                                            cfg.polish_iters, 2,
                                            cfg.rot_jax_dtype(), 8,
                                            cfg.exact_solver,
-                                           cfg.polish_precision)
+                                           cfg.polish_precision,
+                                           cfg.polish_correction)
         else:
             def seg_fn(lt, p, s, n, Nt, dt, measure, pa,
                        anchor_every=None):

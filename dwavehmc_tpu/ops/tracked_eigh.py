@@ -194,6 +194,29 @@ def tracked_step(hr, hi, ur, ui, parity=0, precision=None, ns_steps=2,
     return ur, ui
 
 
+def rayleigh_corrected_evals(tr, ti, d):
+    """Second-order perturbative eigenvalue correction from the projected
+    matrix T = U†HU (U near-eigenbasis): e_i ≈ d_i + Σ_{j≠i} |T_ij|² ·
+    g_ij/(g_ij² + |T_ij|²), with g_ij = d_i − d_j.
+
+    This is a damped (Padé) form of the Rayleigh–Schrödinger term
+    |T_ij|²/g_ij: exact in the |T_ij| ≪ |g| limit and bounded at
+    degeneracies, where the bare term diverges (a degenerate pair's true
+    first-order split is ±|T_ij| with basis-dependent sign — contributing
+    ~0 there is safe: no worse than the uncorrected readout, and the
+    fermion energy depends only on |E| so near-zero PH-pair sign noise
+    cancels).  Removes the leading O(res²/gap) error of the diagonal
+    readout d_i = T_ii, the term that dominates the cheap-anchor dH
+    error — an O(n²) elementwise pass in place of further O(n³) polish
+    rotations."""
+    n = d.shape[0]
+    mask = 1.0 - jnp.eye(n, dtype=tr.dtype)
+    m2 = (tr * tr + ti * ti) * mask
+    g = d[:, None] - d[None, :]
+    corr = jnp.sum(m2 * g / (g * g + m2 + 1e-30), axis=1)
+    return d + corr
+
+
 def _sort_by_evals(d, ur, ui):
     order = jnp.argsort(d)
     return d[order], ur[:, order], ui[:, order]
@@ -211,7 +234,8 @@ def full_eigh_from_parts(hr, hi):
 
 def tracked_eigh_nofallback(hr, hi, ur0, ui0, *, n_iter: int = 6,
                             precision=None, eval_precision=None,
-                            ns_steps: int = 2, rot_dtype=None):
+                            ns_steps: int = 2, rot_dtype=None,
+                            eval_correction: bool = False):
     """Refinement only — no exact-eigh fallback.  For use under vmap, where
     ``lax.cond`` degrades to select (both branches would execute for every
     batch element).  Returns (evals ascending, Ur, Ui, offdiag residual);
@@ -249,9 +273,11 @@ def tracked_eigh_nofallback(hr, hi, ur0, ui0, *, n_iter: int = 6,
     ur, ui = lax.fori_loop(0, n_iter, body, (ur0, ui0))
     if rot_dtype is not None:
         ur, ui = ur.astype(cdt), ui.astype(cdt)
-    _, _, d, res = _project_T(hr, hi, ur, ui,
-                              precision if eval_precision is None
-                              else eval_precision)
+    tr, ti, d, res = _project_T(hr, hi, ur, ui,
+                                precision if eval_precision is None
+                                else eval_precision)
+    if eval_correction:
+        d = rayleigh_corrected_evals(tr, ti, d)
     return d, ur, ui, res
 
 

@@ -185,17 +185,19 @@ def run_segment_real_jit(lat, params, states, n_sweeps, Nt, dt,
 # overhead is ~10 ms/call — noise against a multi-hundred-ms sweep.
 
 @functools.partial(jax.jit,
-                   static_argnums=(0, 3, 5, 6, 7, 8, 9, 10, 11, 12))
+                   static_argnums=(0, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def _tracked_leapfrog_jit(lat, params, states, Nt, dt, tracked_iters,
                           params_axis=None, dt_axis=None, refine_iters=0,
                           polish_iters=0, ns_steps=2, rot_dtype=None,
-                          polish_precision="highest"):
+                          polish_precision="highest",
+                          polish_correction=False):
     from ..sampler.hmc_real import tracked_leapfrog
 
     fn = lambda p, s, d: tracked_leapfrog(lat, p, s, Nt, d, tracked_iters,  # noqa: E731
                                           refine_iters, polish_iters,
                                           ns_steps, rot_dtype,
-                                          polish_precision)
+                                          polish_precision,
+                                          polish_correction)
     return jax.vmap(fn, in_axes=(params_axis, 0, dt_axis))(
         params, states, jnp.asarray(dt))
 
@@ -223,12 +225,12 @@ def _tracked_accept_jit(lat, params, states, proposal, measure=True,
 
 @functools.partial(jax.jit,
                    static_argnums=(0, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14,
-                                   15))
+                                   15, 16))
 def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
                        refine_iters, measure=True, params_axis=None,
                        dt_axis=None, polish_iters=0, ns_steps=2,
                        rot_dtype=None, final_leapfrog=True,
-                       polish_precision="highest"):
+                       polish_precision="highest", polish_correction=False):
     """``n_cheap`` cheap-anchor sweeps + (when ``final_leapfrog``) the
     following (anchor) sweep's leapfrog, fused into ONE program — pure
     matmuls throughout (no eigh, so it is safe on the target compiler),
@@ -256,7 +258,8 @@ def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
         fn = lambda p, s, d: tracked_leapfrog(lat, p, s, Nt, d,  # noqa: E731
                                               tracked_iters, r_iters,
                                               p_iters, ns_steps, rot_dtype,
-                                              polish_precision)
+                                              polish_precision,
+                                              polish_correction)
         return jax.vmap(fn, in_axes=(params_axis, 0, dt_axis))(
             params, states, dt_arr)
 
@@ -285,7 +288,7 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                         tracked_iters=6, anchor_every=1, refine_iters=12,
                         polish_iters=4, ns_steps=2, rot_dtype=None,
                         max_fused=8, exact_solver="qdwh",
-                        polish_precision="highest"):
+                        polish_precision="highest", polish_correction=False):
     """Host-sequenced tracked segment; same interface/results shape as
     run_segment_real(eigh_mode="tracked") but crash-safe on the target
     compiler.
@@ -365,14 +368,15 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                     lat, params, states, c, Nt, dt, tracked_iters,
                     refine_iters, measure, params_axis, dt_axis,
                     polish_iters, ns_steps, rot_dtype, False,
-                    polish_precision)
+                    polish_precision, polish_correction)
                 if recs is not None:
                     record(*recs)
                 n_cheap -= c
             states, recs, proposal = _tracked_block_jit(
                 lat, params, states, n_cheap, Nt, dt, tracked_iters,
                 refine_iters, measure, params_axis, dt_axis, polish_iters,
-                ns_steps, rot_dtype, True, polish_precision)
+                ns_steps, rot_dtype, True, polish_precision,
+                polish_correction)
             if recs is not None:
                 record(*recs)
             states, info, obs = _tracked_accept_jit(lat, params, states,

@@ -106,7 +106,8 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
                      state: HMCStateReal, Nt: int, dt,
                      tracked_iters: int = 6, refine_iters: int = 0,
                      polish_iters: int = 6, ns_steps: int = 2,
-                     rot_dtype=None, polish_precision: str = "highest"):
+                     rot_dtype=None, polish_precision: str = "highest",
+                     polish_correction: bool = False):
     """Phase 1 of the split tracked sweep: momentum refresh + fully tracked
     leapfrog (no exact eigh anywhere — the target TPU compiler faults when
     the embedding eigh and the tracked matmul loop share one program).
@@ -185,7 +186,8 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
             # trajectory quality is unaffected.
             e_f, X_f, Y_f, res_end = tracked_eigh_nofallback(
                 hr, hi, X_f, Y_f, n_iter=refine_iters,
-                eval_precision="highest" if polish_iters == 0 else None)
+                eval_precision="highest" if polish_iters == 0 else None,
+                eval_correction=polish_correction and polish_iters == 0)
         if polish_iters > 0:
             # phase 2: full-precision polish to the f32 floor +
             # Metropolis-grade eigenvalue readout.  ``polish_precision``
@@ -193,9 +195,15 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
             # "highest" = 6): basis noise enters eigenvalues at second
             # order (~res²/gap), so the readout — always "highest" — is
             # what bounds the dH error.
+            # ``polish_correction`` applies the O(n²) second-order
+            # Rayleigh eigenvalue correction to the readout, removing the
+            # leading O(res²/gap) error — lets polish_iters shrink at the
+            # same dH floor (validate on hardware before changing
+            # defaults; see scripts/validate_cheap_anchor.py).
             e_f, X_f, Y_f, res_end = tracked_eigh_nofallback(
                 hr, hi, X_f, Y_f, n_iter=polish_iters,
-                precision=polish_precision, eval_precision="highest")
+                precision=polish_precision, eval_precision="highest",
+                eval_correction=polish_correction)
 
     return (dre, dim_, pre, pim, pi_re0, pi_im0, key,
             k_acc, jnp.max(res), e_f, X_f, Y_f, res_end)

@@ -61,6 +61,12 @@ class RunConfig:
     #                                 "high" = 3); the eigenvalue readout
     #                                 is always "highest" (basis noise is
     #                                 second-order in the dH error)
+    polish_correction: bool = False  # second-order Rayleigh correction on
+    #                                 the cheap-anchor eigenvalue readout
+    #                                 (O(n²) elementwise; removes the
+    #                                 leading O(res²/gap) readout error so
+    #                                 polish_iters can shrink — validate
+    #                                 bias on hardware before flipping)
     exact_solver: str = "qdwh"      # anchor/init exact eigensolver:
     #                                 "qdwh" (XLA eigh on the full
     #                                 embedding) | "ph" (PH-split

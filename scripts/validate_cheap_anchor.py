@@ -53,6 +53,8 @@ def main():
                    choices=("highest", "high"),
                    help="matmul precision of the polish rotations (the "
                         "eigenvalue readout is always 'highest')")
+    p.add_argument("--polish_correction", action="store_true",
+                   help="second-order Rayleigh correction on the readout")
     p.add_argument("--rot_dtype", default=None, choices=(None, "bfloat16"),
                    help="storage dtype of the in-trajectory rotations")
     p.add_argument("--therm", type=int, default=10)
@@ -104,7 +106,8 @@ def main():
         prop = _tracked_leapfrog_jit(lat, params, states_c, ns.Nt, dt,
                                      ns.tracked_iters, None, None,
                                      ns.refine_iters, ns.polish_iters,
-                                     2, rot, ns.polish_precision)
+                                     2, rot, ns.polish_precision,
+                                     ns.polish_correction)
         _, info_cheap, _ = _tracked_accept_jit(lat, params, states_c, prop,
                                                False, None, True)
         states_c, info_exact, _ = _tracked_accept_jit(lat, params, states_c,
@@ -133,7 +136,8 @@ def main():
                                       True, None, None, ns.tracked_iters,
                                       anchor_every, ns.refine_iters,
                                       ns.polish_iters, 2, rot,
-                                      polish_precision=ns.polish_precision)
+                                      polish_precision=ns.polish_precision,
+                                      polish_correction=ns.polish_correction)
         wall = time.time() - t0
         o = seg.observables
         half = ns.sweeps // 2
@@ -167,8 +171,8 @@ def main():
         "config": {k: getattr(ns, k) for k in
                    ("L", "batch", "beta", "J", "Nt", "anchor_every",
                     "tracked_iters", "refine_iters", "polish_iters",
-                    "polish_precision", "therm", "paired",
-                    "sweeps", "rot_dtype")},
+                    "polish_precision", "polish_correction", "therm",
+                    "paired", "sweeps", "rot_dtype")},
         "device": str(jax.devices()[0]),
         "paired_dH": {
             "max_abs_err": float(dh_err.max()),
