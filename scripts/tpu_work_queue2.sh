@@ -1,0 +1,63 @@
+#!/bin/bash
+# Follow-up TPU queue (runs after tpu_work_queue.sh drains):
+#  * endpoint-polish A/B at the headline shape and at production shape,
+#  * the reference's SECOND production workload at full spec: the β scan
+#    (scripts/batch_scan_beta.jl:10-36 shape — 12×12 clean, 24 log-spaced
+#    β ∈ [0.01, 1e5], 20 therm + 100 measure sweeps, transport every
+#    sweep, bin 10) as an examples/ artifact.
+# Usage: bash scripts/tpu_work_queue2.sh [max_wait_minutes]
+cd "$(dirname "$0")/.." || exit 1
+LOG=${TPU_QUEUE_LOG:-/tmp/tpu_queue2.log}
+MAX_WAIT_MIN=${1:-120}
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+DEAD=0
+
+say() { echo "[$(date -u +%H:%M:%S)] $*" | tee -a "$LOG"; }
+
+probe() {
+    timeout 420 python - <<'EOF' >>"$LOG" 2>&1
+import jax, numpy as np, jax.numpy as jnp
+x = jnp.ones((128, 128))
+print("probe-ok", float(np.asarray(x @ x)[0, 0]), jax.devices()[0])
+EOF
+}
+
+wait_for_tpu() {
+    local waited=0
+    while ! probe; do
+        say "worker down (waited ${waited}m)"
+        if [ "$waited" -ge "$MAX_WAIT_MIN" ]; then
+            say "giving up; marking queue dead"
+            DEAD=1
+            return 1
+        fi
+        sleep 300
+        waited=$((waited + 7))
+    done
+}
+
+run_task() {
+    local name=$1 tmo=$2; shift 2
+    [ "$DEAD" = 1 ] && { say "SKIP  $name (worker dead)"; return 1; }
+    wait_for_tpu || return 1
+    say "START $name"
+    if timeout "$tmo" "$@" >>"$LOG" 2>&1; then
+        say "DONE  $name"
+    else
+        say "FAIL  $name (rc=$?)"
+    fi
+}
+
+say "=== queue2 start ==="
+
+run_task ab_polish_16 5400 python scripts/ab_polish.py
+
+run_task ab_polish_24_b64 5400 env AB_L=24 AB_BATCH=64 AB_PAIRED=3 \
+    AB_SWEEPS=10 python scripts/ab_polish.py
+
+run_task beta_scan_full 9000 python scripts/batch_scan_beta.py \
+    --out_dir examples/beta_scan_full_12x12 --replicas 3 \
+    --eigh_mode tracked --anchor_every 1 --checkpoint_freq 10 \
+    --resume true --mode vectorized
+
+say "=== queue2 end ==="
