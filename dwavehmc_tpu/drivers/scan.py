@@ -262,7 +262,27 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
 
     path = cfg.resolved_path()
     if path == "real":
-        if cfg.eigh_mode == "tracked":
+        if cfg.eigh_mode == "tracked" and cfg.metropolis_readout == "host":
+            from ..parallel.ensemble import run_segment_hostacc
+
+            # Host-f64 Metropolis readout: exact accept decisions past the
+            # f32 conditioning wall (β ≳ 3e3 — ops/host_energy.py).  The
+            # potential of the current ensemble state is cached across
+            # segments and invalidated only by resume (cache=None
+            # recomputes from the loaded states).
+            host_cache: dict = {"c": None}
+
+            def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da,
+                       anchor_every=None):
+                del anchor_every   # host readout anchors every sweep
+                s, res, host_cache["c"] = run_segment_hostacc(
+                    lt, p, s, n, Nt, dt, measure=measure, params_axis=pa,
+                    dt_axis=da, tracked_iters=cfg.tracked_iters,
+                    ns_steps=2, rot_dtype=cfg.rot_jax_dtype(),
+                    exact_solver=cfg.exact_solver,
+                    pot_cache=host_cache["c"])
+                return s, res
+        elif cfg.eigh_mode == "tracked":
             from ..parallel.ensemble import run_segment_tracked
 
             # Thermalization always anchors every sweep (exact Metropolis

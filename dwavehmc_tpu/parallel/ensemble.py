@@ -205,17 +205,24 @@ def _tracked_leapfrog_jit(lat, params, states, Nt, dt, tracked_iters,
 @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def _tracked_accept_jit(lat, params, states, proposal, measure=True,
                         params_axis=None, cheap=False,
-                        exact_solver="qdwh"):
+                        exact_solver="qdwh", dH_host=None, finite_host=None):
     from ..models.observables_real import measure_observables_real
     from ..sampler.hmc_real import tracked_accept, tracked_accept_cheap
 
     if cheap:
         fn = lambda p, s, prop: tracked_accept_cheap(lat, p, s, prop)  # noqa: E731
+        states, info = jax.vmap(fn, in_axes=(params_axis, 0, 0))(
+            params, states, proposal)
+    elif dH_host is not None:
+        fn = lambda p, s, prop, d, f: tracked_accept(  # noqa: E731
+            lat, p, s, prop, exact_solver, d, f)
+        states, info = jax.vmap(fn, in_axes=(params_axis, 0, 0, 0, 0))(
+            params, states, proposal, dH_host, finite_host)
     else:
         fn = lambda p, s, prop: tracked_accept(lat, p, s, prop,  # noqa: E731
                                                exact_solver)
-    states, info = jax.vmap(fn, in_axes=(params_axis, 0, 0))(
-        params, states, proposal)
+        states, info = jax.vmap(fn, in_axes=(params_axis, 0, 0))(
+            params, states, proposal)
     obs = None
     if measure:
         obs = jax.vmap(functools.partial(measure_observables_real, lat),
@@ -393,6 +400,81 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
     obs = (jax.tree.map(lambda *xs: jnp.concatenate(xs), *obss)
            if measure else None)
     return states, SegmentResult(accepted=acc, dH=dH, observables=obs)
+
+
+def run_segment_hostacc(lat, params, states, n_sweeps, Nt, dt, *,
+                        measure=True, params_axis=None, dt_axis=None,
+                        tracked_iters=6, ns_steps=2, rot_dtype=None,
+                        exact_solver="qdwh", pot_cache=None):
+    """Tracked segment with the host-f64 Metropolis readout
+    (ops/host_energy.py) — for β beyond the f32 conditioning wall
+    (β ≳ 3e3), where on-device dH noise of order β·√(2N)·2e-7·‖M‖
+    collapses acceptance regardless of dt.
+
+    Per sweep: the tracked leapfrog runs on-device as usual; the tiny
+    endpoint (Δ, π) leaves come to the host, which evaluates the exact
+    f64 Hamiltonian (complex128 ``eigvalsh`` of the 2N×2N BdG matrix) and
+    hands the per-chain ΔH back to the accept program.  The exact anchor
+    eigh still runs on-device so the carried eigenpairs stay anchor-grade
+    for forces/observables/transport.  The potential of the CURRENT state
+    is cached in ``pot_cache`` (a dict) and updated on accept — pass the
+    returned dict back in across segments.  The cache self-validates
+    against a fingerprint of the per-chain disorder, so handing it a
+    different chain subset (the scan driver's bucketed thermalization)
+    safely triggers a recompute; it does assume the caller never rewinds
+    the SAME chains to an older state between segments (no driver does).
+
+    Returns (states, SegmentResult, pot_cache).  Inherently one dispatch
+    pair per sweep (decisions are sequential on the host), so use it for
+    the extreme-β tail, not as the default production path.
+    """
+    from ..ops.host_energy import (
+        kinetic_energy_np,
+        mass_array_np,
+        potential_batch_np,
+    )
+
+    disorder = np.asarray(states.disorder)
+    b = disorder.shape[0]
+    mass = mass_array_np(params, b, params_axis=params_axis)
+    fp = hash(disorder.tobytes())
+    if pot_cache is None:
+        pot_cache = {}
+    if pot_cache.get("fp") != fp:
+        pot_cache = {"fp": fp, "pot": potential_batch_np(
+            lat, params, disorder, np.asarray(states.delta_re),
+            np.asarray(states.delta_im), params_axis=params_axis)}
+
+    accs, dHs, obss = [], [], []
+    for _ in range(n_sweeps):
+        proposal = _tracked_leapfrog_jit(lat, params, states, Nt, dt,
+                                         tracked_iters, params_axis,
+                                         dt_axis, 0, 0, ns_steps, rot_dtype)
+        dre, dim_, pre, pim, pi0r, pi0i = (np.asarray(proposal[i])
+                                           for i in range(6))
+        pot_new = potential_batch_np(lat, params, disorder, dre, dim_,
+                                     params_axis=params_axis)
+        kin_new = kinetic_energy_np(pre, pim, mass)
+        kin_old = kinetic_energy_np(pi0r, pi0i, mass)
+        dH = (kin_new + pot_new) - (kin_old + pot_cache["pot"])
+        finite = np.isfinite(dH) & np.isfinite(pot_new)
+        states, info, obs = _tracked_accept_jit(
+            lat, params, states, proposal, measure, params_axis, False,
+            exact_solver, jnp.asarray(dH.astype(np.float32)),
+            jnp.asarray(finite))
+        acc = np.asarray(info.accepted)
+        pot_cache["pot"] = np.where(acc, pot_new, pot_cache["pot"])
+        accs.append(jnp.asarray(acc)[None])
+        dHs.append(jnp.asarray(dH.astype(np.float32))[None])
+        if measure:
+            obss.append(jax.tree.map(lambda x: x[None], obs))
+
+    acc = jnp.concatenate(accs)
+    dH = jnp.concatenate(dHs)
+    obs = (jax.tree.map(lambda *xs: jnp.concatenate(xs), *obss)
+           if measure else None)
+    return states, SegmentResult(accepted=acc, dH=dH,
+                                 observables=obs), pot_cache
 
 
 # jit wrappers with static structure args ------------------------------------

@@ -274,10 +274,18 @@ def _exact_diagonalize(M, solver: str = "qdwh"):
 
 def tracked_accept(lat: LatticeSpec, params: ModelParams,
                    state: HMCStateReal, proposal,
-                   exact_solver: str = "qdwh"
+                   exact_solver: str = "qdwh",
+                   dH_host=None, finite_host=None
                    ) -> tuple[HMCStateReal, SweepInfo]:
     """Phase 2: exact embedding eigh of the proposal, difference-based ΔH,
-    Metropolis select.  Runs as its own program (see tracked_leapfrog)."""
+    Metropolis select.  Runs as its own program (see tracked_leapfrog).
+
+    ``dH_host`` (with ``finite_host``) overrides the device-computed ΔH in
+    the Metropolis test — the host-f64 readout path (ops/host_energy.py)
+    for β beyond the f32 conditioning wall.  The exact eigh still runs:
+    the accepted state must carry anchor-grade eigenpairs for forces,
+    observables and transport; only the accept DECISION uses the host
+    energies."""
     beta, J, mass = params.beta, params.J, params.mass
     dre, dim_, pre, pim, pi_re0, pi_im0, key, k_acc, res = proposal[:9]
 
@@ -306,6 +314,10 @@ def tracked_accept(lat: LatticeSpec, params: ModelParams,
                     + 2.0 * (jnp.sum(jax.nn.softplus(-beta * En))
                              - jnp.sum(jax.nn.softplus(-beta * Eo))))
     dH = d_kin + d_bos + d_fer
+    if dH_host is not None:
+        dH = jnp.asarray(dH_host, jnp.float32)
+        if finite_host is not None:
+            finite = finite & finite_host
     H_new = H_old + dH
 
     u = jax.random.uniform(k_acc, (), dtype=jnp.float32)

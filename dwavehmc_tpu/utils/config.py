@@ -75,6 +75,16 @@ class RunConfig:
     #                                 in-trajectory tracked rotations (bf16 is
     #                                 ~1.2x faster at 24x24/b64, bias-validated;
     #                                 endpoint refine/polish always f32)
+    metropolis_readout: str = "device"  # "device" | "host": where the
+    #                                 Metropolis ΔH is evaluated.  "host"
+    #                                 moves the once-per-sweep energy
+    #                                 readout to the host in f64
+    #                                 (ops/host_energy.py) — exact accept
+    #                                 decisions past the f32 conditioning
+    #                                 wall (β ≳ 3e3, reference grids reach
+    #                                 β = 1e5 / T = 1e-4); trajectories
+    #                                 stay on-device.  Tracked real path,
+    #                                 vectorized scans.
     Nt_escalate: bool = True        # vectorized scan: one-shot global Nt
     #                                 escalation after the probe window when
     #                                 the worst chain's acceptance < 0.60
