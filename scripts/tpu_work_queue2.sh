@@ -50,14 +50,21 @@ run_task() {
 
 say "=== queue2 start ==="
 
+# host-f64 Metropolis readout validation at the reference beta-grid top
+# (the device-f32 readout measurably FAILS here: acc 0.20-0.39 —
+# examples/beta_extreme_validation_device_readout.json)
+run_task validate_beta_extreme_host 5400 python scripts/validate_beta_extreme.py
+
 run_task ab_polish_16 5400 python scripts/ab_polish.py
 
 run_task ab_polish_24_b64 5400 env AB_L=24 AB_BATCH=64 AB_PAIRED=3 \
     AB_SWEEPS=10 python scripts/ab_polish.py
 
+# the reference's SECOND production workload at full spec, with the exact
+# host readout so the top beta decades sit inside the acceptance window
 run_task beta_scan_full 9000 python scripts/batch_scan_beta.py \
     --out_dir examples/beta_scan_full_12x12 --replicas 3 \
     --eigh_mode tracked --anchor_every 1 --checkpoint_freq 10 \
-    --resume true --mode vectorized
+    --resume true --mode vectorized --metropolis_readout host
 
 say "=== queue2 end ==="
