@@ -39,6 +39,19 @@ wait_for_tpu() {
 run_task() {
     local name=$1 tmo=$2; shift 2
     [ "$DEAD" = 1 ] && { say "SKIP  $name (worker dead)"; return 1; }
+    if [ -f /tmp/tpu_queue_stop ]; then
+        say "SKIP  $name (stop file present)"; return 1
+    fi
+    if [ -f /tmp/tpu_queue2_deadline ]; then
+        local now left
+        now=$(date +%s)
+        left=$(( $(cat /tmp/tpu_queue2_deadline) - now ))
+        if [ "$left" -lt 300 ]; then
+            say "SKIP  $name (past deadline — freeing the TPU for the round-end bench)"
+            return 1
+        fi
+        [ "$left" -lt "$tmo" ] && tmo=$left   # never run past the deadline
+    fi
     wait_for_tpu || return 1
     say "START $name"
     if timeout "$tmo" "$@" >>"$LOG" 2>&1; then
@@ -50,15 +63,13 @@ run_task() {
 
 say "=== queue2 start ==="
 
+# Priority order: validation + full-spec artifacts first, A/B experiments
+# last (skippable at the deadline).
+
 # host-f64 Metropolis readout validation at the reference beta-grid top
 # (the device-f32 readout measurably FAILS here: acc 0.20-0.39 —
 # examples/beta_extreme_validation_device_readout.json)
-run_task validate_beta_extreme_host 5400 python scripts/validate_beta_extreme.py
-
-run_task ab_polish_16 5400 python scripts/ab_polish.py
-
-run_task ab_polish_24_b64 5400 env AB_L=24 AB_BATCH=64 AB_PAIRED=3 \
-    AB_SWEEPS=10 python scripts/ab_polish.py
+run_task validate_beta_extreme_host 4200 python scripts/validate_beta_extreme.py
 
 # the reference's SECOND production workload at full spec, with the exact
 # host readout so the top beta decades sit inside the acceptance window
@@ -66,5 +77,19 @@ run_task beta_scan_full 9000 python scripts/batch_scan_beta.py \
     --out_dir examples/beta_scan_full_12x12 --replicas 3 \
     --eigh_mode tracked --anchor_every 1 --checkpoint_freq 10 \
     --resume true --mode vectorized --metropolis_readout host
+
+# cold tail of the full-spec T-scan (the 6 coldest grid points, beta >=
+# 300, where the device readout sat at acc 0.44-0.60) re-run with the
+# host readout; the 6-point log grid reproduces the full grid's points
+run_task T_scan_cold_host 7200 python scripts/batch_scan_T.py \
+    --out_dir examples/T_scan_cold_host_24x24 --replicas 3 \
+    --n_T 6 --T_min 1e-4 --T_max 0.0033246 \
+    --eigh_mode tracked --anchor_every 1 --checkpoint_freq 10 \
+    --resume true --mode vectorized --metropolis_readout host
+
+run_task ab_polish_16 5400 python scripts/ab_polish.py
+
+run_task ab_polish_24_b64 5400 env AB_L=24 AB_BATCH=64 AB_PAIRED=3 \
+    AB_SWEEPS=10 python scripts/ab_polish.py
 
 say "=== queue2 end ==="
