@@ -87,6 +87,12 @@ run_task T_scan_cold_host 7200 python scripts/batch_scan_T.py \
     --eigh_mode tracked --anchor_every 1 --checkpoint_freq 10 \
     --resume true --mode vectorized --metropolis_readout host
 
+# PH-solver accuracy/speed frontier at the production shape: is the
+# dim-2304 eval_err 2.75e-3 / res 0.18 (lift_prec=high) the HIGH-pass
+# matmul noise?  highest costs ~2x on the lift phase only.
+run_task bench_ph_eigh_24_highest 3600 python scripts/bench_ph_eigh.py \
+    --L 24 --batch 8 --reps 2 --lift_prec highest --skip_qdwh
+
 run_task ab_polish_16 5400 python scripts/ab_polish.py
 
 run_task ab_polish_24_b64 5400 env AB_L=24 AB_BATCH=64 AB_PAIRED=3 \
