@@ -76,7 +76,24 @@ def run_simulation(cfg: RunConfig) -> dict:
     path = cfg.resolved_path()
 
     if path == "real":
-        if cfg.eigh_mode == "tracked":
+        if cfg.eigh_mode == "tracked" and cfg.metropolis_readout == "host":
+            from ..parallel.ensemble import run_segment_hostacc
+
+            # host-f64 Metropolis readout for β past the f32 wall
+            # (ops/host_energy.py; same semantics as drivers/scan.py)
+            host_cache: dict = {"c": None}
+
+            def seg_fn(lt, p, s, n, Nt, dt, measure, pa,
+                       anchor_every=None):
+                del anchor_every   # host readout anchors every sweep
+                s, res, host_cache["c"] = run_segment_hostacc(
+                    lt, p, s, n, Nt, dt, measure=measure, params_axis=pa,
+                    dt_axis=None, tracked_iters=cfg.tracked_iters,
+                    ns_steps=2, rot_dtype=cfg.rot_jax_dtype(),
+                    exact_solver=cfg.exact_solver,
+                    pot_cache=host_cache["c"])
+                return s, res
+        elif cfg.eigh_mode == "tracked":
             # split runner: crash-safe on compilers that fault when the
             # exact embedding eigh shares a program with the tracked loop
             from ..parallel.ensemble import run_segment_tracked

@@ -214,6 +214,27 @@ def test_scan_vectorized_host_readout(tmp_path):
         assert obs["Accepted"].mean() >= 0.5
 
 
+def test_serial_driver_host_readout(tmp_path):
+    """run_simulation (the C12 rebuild) supports the host readout too —
+    deep-cold point stays in the acceptance window."""
+    from dwavehmc_tpu.drivers.simulation import run_simulation
+    from dwavehmc_tpu.utils.config import RunConfig
+
+    cfg = RunConfig(Lx=4, Ly=4, W=0.5, n_imp=0.25, beta=1e4, J=0.8,
+                    eta=0.2, domega=0.2, omega_max=1.0,
+                    n_therm=6, n_measure=8, Nt_therm_init=10, Nt_measure=6,
+                    measure_transport_freq=4, bin_size=1,
+                    n_chains=2, seed=1, dtype="float32", path="real",
+                    eigh_mode="tracked", metropolis_readout="host",
+                    out_dir=str(tmp_path / "serial_host"), verbose=False,
+                    checkpoint_freq=0)
+    run_simulation(cfg)
+    obs = np.genfromtxt(str(tmp_path / "serial_host" / "observables.csv"),
+                        delimiter=",", names=True)
+    assert np.isfinite(obs["dH"]).all()
+    assert obs["Accepted"].mean() >= 0.5
+
+
 def test_nonfinite_proposal_rejected():
     """A NaN Δ proposal must produce +inf potential ⇒ reject, not a crash."""
     dis, dre, dim_ = _rand_state(jax.random.PRNGKey(6))
