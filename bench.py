@@ -15,7 +15,8 @@ trajectories/sec.  (Documented estimate, not a measured number.)
 
 Env knobs: BENCH_BATCH (default 8), BENCH_L (16), BENCH_NT (6),
 BENCH_SWEEPS (20), BENCH_REPS (3), BENCH_SKIP_EIGH (0),
-BENCH_ANCHOR_EVERY (10), BENCH_ROT_DTYPE (bfloat16|float32).
+BENCH_ANCHOR_EVERY (10), BENCH_ROT_DTYPE (bfloat16|float32),
+BENCH_EXACT_SOLVER (qdwh|ph — the anchor/init eigensolver).
 
 Defaults are the VALIDATED production config (bf16 in-trajectory
 rotations + exact anchors every 10 sweeps): bias measured on-TPU at
@@ -282,7 +283,9 @@ def main():
             # embedding eigh shares a program with the tracked matmul loop
             return run_segment_tracked(lat, params, states, sweeps, Nt, dt,
                                        True, None, None, t_iters,
-                                       ns_steps=ns, rot_dtype=rot)
+                                       ns_steps=ns, rot_dtype=rot,
+                                       exact_solver=os.environ.get(
+                                           "BENCH_EXACT_SOLVER", "qdwh"))
         if mode == "tracked_fast":
             # cheap anchors: exact eigh every 5th sweep; Metropolis uses the
             # refined+polished tracked endpoint spectrum in between
@@ -290,7 +293,8 @@ def main():
                 lat, params, states, sweeps, Nt, dt, True, None, None,
                 t_iters, int(os.environ.get("BENCH_ANCHOR_EVERY", 10)),
                 int(os.environ.get("BENCH_REFINE_ITERS", 12)),
-                int(os.environ.get("BENCH_POLISH_ITERS", 4)), ns, rot)
+                int(os.environ.get("BENCH_POLISH_ITERS", 4)), ns, rot,
+                exact_solver=os.environ.get("BENCH_EXACT_SOLVER", "qdwh"))
         return seg_fn(lat, params, states, sweeps, Nt, dt, True, None,
                       None, mode)
 

@@ -93,6 +93,15 @@ run_task T_scan_cold_host 7200 python scripts/batch_scan_T.py \
 run_task bench_ph_eigh_24_highest 3600 python scripts/bench_ph_eigh.py \
     --L 24 --batch 8 --reps 2 --lift_prec highest --skip_qdwh
 
+# PH anchors in the production pipeline: acceptance is a direct anchor-
+# quality probe (Metropolis reads the anchor spectra), throughput shows
+# the ~20%-of-wall anchor share shrinking.  Compare BENCH_LOCAL.json
+# production_24x24 (qdwh: 14.5 traj/s acc 0.91 at K=20-chunked).
+run_task bench_prod24_ph_anchors 5400 env BENCH_L=24 BENCH_BATCH=64 \
+    BENCH_NT=6 BENCH_SWEEPS=20 BENCH_REPS=2 BENCH_SKIP_EIGH=1 \
+    BENCH_MODES=tracked,tracked_fast BENCH_ANCHOR_EVERY=10 \
+    BENCH_EXACT_SOLVER=ph python bench.py
+
 run_task ab_polish_16 5400 python scripts/ab_polish.py
 
 run_task ab_polish_24_b64 5400 env AB_L=24 AB_BATCH=64 AB_PAIRED=3 \
