@@ -93,6 +93,11 @@ run_task T_scan_cold_host 7200 python scripts/batch_scan_T.py \
 run_task bench_ph_eigh_24_highest 3600 python scripts/bench_ph_eigh.py \
     --L 24 --batch 8 --reps 2 --lift_prec highest --skip_qdwh
 
+# shorter fixed-coefficient lift (floor 3.44^-6 ≈ 6e-4): 18 vs 30 lift
+# matmuls if the production spectral floor allows it
+run_task bench_ph_eigh_24_nlift6 3600 python scripts/bench_ph_eigh.py \
+    --L 24 --batch 8 --reps 2 --n_lift 6 --skip_qdwh
+
 # PH anchors in the production pipeline: acceptance is a direct anchor-
 # quality probe (Metropolis reads the anchor spectra), throughput shows
 # the ~20%-of-wall anchor share shrinking.  Compare BENCH_LOCAL.json
