@@ -82,6 +82,46 @@ _MINIMAX_1E5 = (
     (1.830378, -1.161187, 0.330860),
 )
 
+#: shallower schedules for better-conditioned spectra (same Remez
+#: construction, 1.05 margin; worst |x−1| under 2%-per-step multiplicative
+#: noise: 0.033 (1e-3) / 0.024 (1e-4) — inside the Newton–Schulz basin).
+#: Floor 1e-3 cuts the lift matmuls 40% vs the 1e-5 table; callers must
+#: KNOW the spectral floor (e.g. |E|min/‖M‖ of the carried tracked
+#: spectrum) — a spectrum below the floor diverges under composition.
+_MINIMAX_1E3 = (
+    (8.068965, -21.696409, 14.601655),
+    (3.990873, -2.691030, 0.455779),
+    (3.811545, -2.580386, 0.445149),
+    (3.260846, -2.230295, 0.411904),
+    (2.331140, -1.580238, 0.353808),
+    (1.861979, -1.187915, 0.328541),
+)
+
+_MINIMAX_1E4 = (
+    (8.104853, -21.824973, 14.694429),
+    (4.047961, -2.725965, 0.459144),
+    (4.028361, -2.713987, 0.457990),
+    (3.951296, -2.666732, 0.453441),
+    (3.674171, -2.494620, 0.436943),
+    (2.942654, -2.018669, 0.392256),
+    (2.077411, -1.377361, 0.338267),
+    (1.835356, -1.164485, 0.329544),
+)
+
+_MINIMAX_BY_FLOOR = {1e-3: _MINIMAX_1E3, 1e-4: _MINIMAX_1E4,
+                     1e-5: _MINIMAX_1E5}
+
+
+def minimax_schedule(floor: float):
+    """The shallowest embedded minimax schedule valid for a given
+    spectral floor |E|min/‖M‖ (≥ the requested floor)."""
+    for f in sorted(_MINIMAX_BY_FLOOR, reverse=True):
+        if floor >= f:
+            return _MINIMAX_BY_FLOOR[f]
+    raise ValueError(
+        f"no embedded schedule for spectral floor {floor:g} (< 1e-5); "
+        "regenerate via the Remez snippet in docs/design.md")
+
 
 def ph_reflect(V):
     """Apply the PH map S to eigenvector columns: (4N, k) → (4N, k).
@@ -100,25 +140,28 @@ def _matmul(a, b, precision=None):
 
 
 def sign_embedding(M, n_lift: int | None = None, n_ns: int = 3,
-                   lift_precision=jax.lax.Precision.HIGHEST):
+                   lift_precision=jax.lax.Precision.HIGHEST,
+                   floor: float = 1e-5):
     """Matrix sign function of a symmetric M with spectrum bounded away
     from 0, via scaled polynomial iteration (matmuls only).
 
-    ``n_lift=None`` (default) uses the 8-step interval-minimax schedule
-    (valid for |E|min/‖M‖ ≥ 1e-5); an integer selects n fixed-coefficient
-    lift steps instead (handles |E|min/‖M‖ down to ~3.44^−n — the slower,
-    arbitrarily-deep fallback).  ``n_ns`` Newton–Schulz steps contract
-    the residual quadratically to the f32 floor.  ``lift_precision``
-    applies to the lift phase only (HIGH = 3-pass bf16 is ~2× the
-    HIGHEST MXU rate; cleanup always runs HIGHEST so the converged sign
-    — and hence the subspace split — reaches the f32 floor).
+    ``n_lift=None`` (default) uses the interval-minimax schedule for the
+    stated spectral ``floor`` (|E|min/‖M‖ ≥ floor; embedded tables at
+    1e-3 / 1e-4 / 1e-5 — the 1e-3 one has 40% fewer lift matmuls); an
+    integer selects n fixed-coefficient lift steps instead (handles
+    |E|min/‖M‖ down to ~3.44^−n — the slower, arbitrarily-deep
+    fallback).  ``n_ns`` Newton–Schulz steps contract the residual
+    quadratically to the f32 floor.  ``lift_precision`` applies to the
+    lift phase only (HIGH = 3-pass bf16 is ~2× the HIGHEST MXU rate;
+    cleanup always runs HIGHEST so the converged sign — and hence the
+    subspace split — reaches the f32 floor).
     """
     # guaranteed spectral bound: ‖M‖₂ ≤ ‖M‖∞ (row-sum); an underestimate
     # would let the quintic diverge, so a cheap exact bound beats a tight
     # power-iteration estimate here
     lam = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)[..., None, None]
     X = M / lam
-    sched = (_MINIMAX_1E5 if n_lift is None
+    sched = (minimax_schedule(floor) if n_lift is None
              else (_LIFT_ABC,) * n_lift)
     for a, b, c in sched:
         X2 = _matmul(X, X, lift_precision)
@@ -196,7 +239,8 @@ def positive_basis(M, sgn, orth: str = "chol"):
 
 def diagonalize_embedding_ph(M, n_lift: int | None = None, n_ns: int = 3,
                              orth: str = "chol",
-                             lift_precision=jax.lax.Precision.HIGHEST):
+                             lift_precision=jax.lax.Precision.HIGHEST,
+                             floor: float = 1e-5):
     """Drop-in replacement for models/bdg_real.diagonalize_embedding:
     (evals (2N,), X (2N, 2N), Y (2N, 2N)) — one eigenpair per doubled
     level, ascending, complex eigenvectors U = X + iY.
@@ -208,7 +252,7 @@ def diagonalize_embedding_ph(M, n_lift: int | None = None, n_ns: int = 3,
     dim = M.shape[-1]          # 4N
     half = dim // 2            # 2N
     sgn = sign_embedding(M, n_lift=n_lift, n_ns=n_ns,
-                         lift_precision=lift_precision)
+                         lift_precision=lift_precision, floor=floor)
     Q = positive_basis(M, sgn, orth=orth)
     MQ = _matmul(M, Q)
     T = _matmul(jnp.swapaxes(Q, -1, -2), MQ)

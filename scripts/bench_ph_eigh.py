@@ -69,6 +69,9 @@ def main():
     p.add_argument("--lift_prec", default="high",
                    choices=("default", "high", "highest"))
     p.add_argument("--skip_qdwh", action="store_true")
+    p.add_argument("--floor", type=float, default=1e-5,
+                   help="spectral floor |E|min/||M|| selecting the "
+                        "minimax lift schedule (1e-3 is 40%% shorter)")
     ns = p.parse_args()
 
     from dwavehmc_tpu.models.bdg_real import diagonalize_embedding
@@ -84,12 +87,14 @@ def main():
             "highest": jax.lax.Precision.HIGHEST}[ns.lift_prec]
 
     ph = jax.jit(lambda m: diagonalize_embedding_ph(
-        m, n_lift=ns.n_lift, orth=ns.orth, lift_precision=prec))
+        m, n_lift=ns.n_lift, orth=ns.orth, lift_precision=prec,
+        floor=ns.floor))
     t_ph, out_ph = time_fn(ph, M, ns.reps)
     print(f"ph: {t_ph*1e3:.1f} ms", file=sys.stderr)
 
     res = {"shape": [ns.batch, dim, dim], "ph_ms": t_ph * 1e3,
-           "n_lift": ns.n_lift, "orth": ns.orth, "lift_prec": ns.lift_prec}
+           "n_lift": ns.n_lift, "orth": ns.orth, "lift_prec": ns.lift_prec,
+           "floor": ns.floor}
 
     if not ns.skip_qdwh:
         qdwh = jax.jit(diagonalize_embedding)
@@ -97,6 +102,11 @@ def main():
         print(f"qdwh: {t_q*1e3:.1f} ms", file=sys.stderr)
         ev_err = float(jnp.max(jnp.abs(out_ph[0] - out_q[0])))
         res.update(qdwh_ms=t_q * 1e3, speedup=t_q / t_ph, eval_err=ev_err)
+    else:
+        # untimed QDWH reference so eval_err is still reported
+        out_q = jax.jit(diagonalize_embedding)(M)
+        sync(out_q)
+        res["eval_err"] = float(jnp.max(jnp.abs(out_ph[0] - out_q[0])))
 
     # residual check on device: ||M v - w v|| per column, worst case
     w, X, Y = out_ph

@@ -93,10 +93,10 @@ run_task T_scan_cold_host 7200 python scripts/batch_scan_T.py \
 run_task bench_ph_eigh_24_highest 3600 python scripts/bench_ph_eigh.py \
     --L 24 --batch 8 --reps 2 --lift_prec highest --skip_qdwh
 
-# shorter fixed-coefficient lift (floor 3.44^-6 ≈ 6e-4): 18 vs 30 lift
-# matmuls if the production spectral floor allows it
-run_task bench_ph_eigh_24_nlift6 3600 python scripts/bench_ph_eigh.py \
-    --L 24 --batch 8 --reps 2 --n_lift 6 --skip_qdwh
+# shallow minimax schedule (floor 1e-3, 6 steps = 40% fewer lift
+# matmuls) — valid when the spectral floor allows it
+run_task bench_ph_eigh_24_floor1e3 3600 python scripts/bench_ph_eigh.py \
+    --L 24 --batch 8 --reps 2 --floor 1e-3 --skip_qdwh
 
 # PH anchors in the production pipeline: acceptance is a direct anchor-
 # quality probe (Metropolis reads the anchor spectra), throughput shows

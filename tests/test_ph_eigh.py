@@ -184,3 +184,43 @@ def test_init_chain_state_ph_matches_qdwh():
                                   np.asarray(s_p.delta_re))
     np.testing.assert_allclose(np.sort(np.asarray(s_p.evals)),
                                np.sort(np.asarray(s_q.evals)), atol=1e-4)
+
+
+def test_minimax_schedules_converge_on_their_interval():
+    """Each embedded schedule maps [floor, 1] into a tight band around 1
+    (scalar composition — the matrix iteration applies these to |E|/λ)."""
+    from dwavehmc_tpu.ops.ph_eigh import minimax_schedule
+
+    for floor, tol in ((1e-3, 6e-3), (1e-4, 1e-3), (1e-5, 2e-4)):
+        xs = np.concatenate([[floor, 2 * floor], np.linspace(0.01, 1.0, 997)])
+        for a, b, c in minimax_schedule(floor):
+            xs = a * xs + b * xs**3 + c * xs**5
+        assert np.abs(xs - 1).max() < tol, (floor, np.abs(xs - 1).max())
+
+
+def test_minimax_schedule_selection():
+    from dwavehmc_tpu.ops.ph_eigh import (
+        _MINIMAX_1E3,
+        _MINIMAX_1E5,
+        minimax_schedule,
+    )
+
+    assert minimax_schedule(1e-3) is _MINIMAX_1E3
+    assert minimax_schedule(5e-3) is _MINIMAX_1E3      # shallowest valid
+    assert minimax_schedule(1e-5) is _MINIMAX_1E5
+    with pytest.raises(ValueError):
+        minimax_schedule(1e-7)
+
+
+def test_ph_eigh_shallow_floor_matches_oracle():
+    """floor=1e-3 schedule: full solver still matches the f64 oracle when
+    the spectrum respects the floor."""
+    from dwavehmc_tpu.ops.ph_eigh import diagonalize_embedding_ph
+
+    _, M = _embedding(L=6, seed=5)
+    w64 = np.linalg.eigvalsh(np.asarray(M, np.float64))
+    lam = np.abs(M).sum(axis=-1).max()
+    assert np.abs(w64).min() / lam > 1e-3   # precondition of the schedule
+    evals, X, Y = diagonalize_embedding_ph(M, floor=1e-3)
+    # doubled-levels convention: one eigenpair per doubled level
+    np.testing.assert_allclose(np.asarray(evals), w64[::2], atol=2e-4)
