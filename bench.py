@@ -294,7 +294,8 @@ def main():
                 t_iters, int(os.environ.get("BENCH_ANCHOR_EVERY", 10)),
                 int(os.environ.get("BENCH_REFINE_ITERS", 12)),
                 int(os.environ.get("BENCH_POLISH_ITERS", 4)), ns, rot,
-                exact_solver=os.environ.get("BENCH_EXACT_SOLVER", "qdwh"))
+                exact_solver=os.environ.get("BENCH_EXACT_SOLVER", "qdwh"),
+                unroll=int(os.environ.get("BENCH_LEAPFROG_UNROLL", 1)))
         return seg_fn(lat, params, states, sweeps, Nt, dt, True, None,
                       None, mode)
 

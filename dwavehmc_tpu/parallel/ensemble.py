@@ -185,19 +185,19 @@ def run_segment_real_jit(lat, params, states, n_sweeps, Nt, dt,
 # overhead is ~10 ms/call — noise against a multi-hundred-ms sweep.
 
 @functools.partial(jax.jit,
-                   static_argnums=(0, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+                   static_argnums=(0, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
 def _tracked_leapfrog_jit(lat, params, states, Nt, dt, tracked_iters,
                           params_axis=None, dt_axis=None, refine_iters=0,
                           polish_iters=0, ns_steps=2, rot_dtype=None,
                           polish_precision="highest",
-                          polish_correction=False):
+                          polish_correction=False, unroll=1):
     from ..sampler.hmc_real import tracked_leapfrog
 
     fn = lambda p, s, d: tracked_leapfrog(lat, p, s, Nt, d, tracked_iters,  # noqa: E731
                                           refine_iters, polish_iters,
                                           ns_steps, rot_dtype,
                                           polish_precision,
-                                          polish_correction)
+                                          polish_correction, unroll)
     return jax.vmap(fn, in_axes=(params_axis, 0, dt_axis))(
         params, states, jnp.asarray(dt))
 
@@ -232,12 +232,13 @@ def _tracked_accept_jit(lat, params, states, proposal, measure=True,
 
 @functools.partial(jax.jit,
                    static_argnums=(0, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14,
-                                   15, 16))
+                                   15, 16, 17))
 def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
                        refine_iters, measure=True, params_axis=None,
                        dt_axis=None, polish_iters=0, ns_steps=2,
                        rot_dtype=None, final_leapfrog=True,
-                       polish_precision="highest", polish_correction=False):
+                       polish_precision="highest", polish_correction=False,
+                       unroll=1):
     """``n_cheap`` cheap-anchor sweeps + (when ``final_leapfrog``) the
     following (anchor) sweep's leapfrog, fused into ONE program — pure
     matmuls throughout (no eigh, so it is safe on the target compiler),
@@ -266,7 +267,7 @@ def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
                                               tracked_iters, r_iters,
                                               p_iters, ns_steps, rot_dtype,
                                               polish_precision,
-                                              polish_correction)
+                                              polish_correction, unroll)
         return jax.vmap(fn, in_axes=(params_axis, 0, dt_axis))(
             params, states, dt_arr)
 
@@ -295,7 +296,8 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                         tracked_iters=6, anchor_every=1, refine_iters=12,
                         polish_iters=4, ns_steps=2, rot_dtype=None,
                         max_fused=8, exact_solver="qdwh",
-                        polish_precision="highest", polish_correction=False):
+                        polish_precision="highest", polish_correction=False,
+                        unroll=1):
     """Host-sequenced tracked segment; same interface/results shape as
     run_segment_real(eigh_mode="tracked") but crash-safe on the target
     compiler.
@@ -343,7 +345,7 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
             proposal = _tracked_leapfrog_jit(lat, params, states, Nt, dt,
                                              tracked_iters, params_axis,
                                              dt_axis, 0, 0, ns_steps,
-                                             rot_dtype)
+                                             rot_dtype, unroll=unroll)
             states, info, obs = _tracked_accept_jit(lat, params, states,
                                                     proposal, measure,
                                                     params_axis, False,
@@ -375,7 +377,7 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                     lat, params, states, c, Nt, dt, tracked_iters,
                     refine_iters, measure, params_axis, dt_axis,
                     polish_iters, ns_steps, rot_dtype, False,
-                    polish_precision, polish_correction)
+                    polish_precision, polish_correction, unroll)
                 if recs is not None:
                     record(*recs)
                 n_cheap -= c
@@ -383,7 +385,7 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                 lat, params, states, n_cheap, Nt, dt, tracked_iters,
                 refine_iters, measure, params_axis, dt_axis, polish_iters,
                 ns_steps, rot_dtype, True, polish_precision,
-                polish_correction)
+                polish_correction, unroll)
             if recs is not None:
                 record(*recs)
             states, info, obs = _tracked_accept_jit(lat, params, states,

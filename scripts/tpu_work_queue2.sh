@@ -107,6 +107,13 @@ run_task bench_prod24_ph_anchors 5400 env BENCH_L=24 BENCH_BATCH=64 \
     BENCH_MODES=tracked,tracked_fast BENCH_ANCHOR_EVERY=10 \
     BENCH_EXACT_SOLVER=ph python bench.py
 
+# leapfrog-scan unroll A/B: the trace shows 9.8% of device self-time in
+# while-loop bookkeeping (examples/profile_production.json analysis)
+run_task bench_prod24_unroll 5400 env BENCH_L=24 BENCH_BATCH=64 \
+    BENCH_NT=6 BENCH_SWEEPS=20 BENCH_REPS=2 BENCH_SKIP_EIGH=1 \
+    BENCH_MODES=tracked_fast BENCH_ANCHOR_EVERY=10 \
+    BENCH_LEAPFROG_UNROLL=6 python bench.py
+
 run_task ab_polish_16 5400 python scripts/ab_polish.py
 
 run_task ab_polish_24_b64 5400 env AB_L=24 AB_BATCH=64 AB_PAIRED=3 \

@@ -224,3 +224,37 @@ def test_polish_precision_plumbing_matches_on_cpu():
                                np.asarray(seg_h3.dH), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(s_hi.delta_re),
                                np.asarray(s_h3.delta_re), atol=1e-14)
+
+
+def test_leapfrog_unroll_equivalence():
+    """unroll=Nt is a pure scheduling change: same trajectory, same
+    decisions as the default rolled scan."""
+    import jax
+    import numpy as np
+
+    from dwavehmc_tpu.models.lattice import LatticeSpec
+    from dwavehmc_tpu.models.params import make_params
+    from dwavehmc_tpu.parallel.ensemble import (
+        init_ensemble_real,
+        run_segment_tracked,
+    )
+
+    lat = LatticeSpec(4, 4)
+    params = make_params(t=1.0, tp=-0.35, mu=-1.08, W=0.5, n_imp=0.25,
+                         beta=8.0, J=1.0, mass=1.0, dtype=jnp.float32)
+    states = init_ensemble_real(lat, params, jax.random.PRNGKey(2), 2,
+                                dtype=jnp.float32, n_imp=0.25)
+    s1, r1 = run_segment_tracked(lat, params,
+                                 jax.tree.map(lambda x: x, states),
+                                 3, 4, 0.04, measure=False,
+                                 anchor_every=3, refine_iters=2,
+                                 polish_iters=2, unroll=1)
+    s2, r2 = run_segment_tracked(lat, params, states, 3, 4, 0.04,
+                                 measure=False, anchor_every=3,
+                                 refine_iters=2, polish_iters=2, unroll=4)
+    np.testing.assert_array_equal(np.asarray(r1.accepted),
+                                  np.asarray(r2.accepted))
+    np.testing.assert_allclose(np.asarray(r1.dH), np.asarray(r2.dH),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s1.delta_re),
+                               np.asarray(s2.delta_re), atol=1e-6)
