@@ -64,10 +64,58 @@ def analyze(path, top_n):
     return out
 
 
+def category_self_time(path):
+    """Self-time (nested-event-corrected) by hlo_category on the device
+    "XLA Ops" track — the measured matmul-vs-everything-else split.
+
+    Events on that track nest (a while contains its body ops); plain
+    duration sums double-count 3×.  A sweep subtracts each event's
+    duration from its innermost enclosing parent, leaving true
+    self-time, then groups by the trace's own ``hlo_category`` tag."""
+    events = load_events(path)
+    pnames, tnames = {}, {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pnames[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tnames[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    lst = []
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if ("TPU" in pnames.get(e["pid"], "")
+                and "XLA Ops" in tnames.get((e["pid"], e.get("tid")), "")):
+            lst.append((e["ts"], e.get("dur", 0.0),
+                        e.get("args", {}).get("hlo_category", "?")))
+    lst.sort()
+    self_time = [0.0] * len(lst)
+    stack = []
+    for i, (ts, dur, _cat) in enumerate(lst):
+        while stack and ts >= lst[stack[-1]][0] + lst[stack[-1]][1]:
+            stack.pop()
+        if stack:
+            self_time[stack[-1]] -= dur
+        self_time[i] += dur
+        stack.append(i)
+    agg = collections.Counter()
+    for i, (_ts, _dur, cat) in enumerate(lst):
+        if self_time[i] > 0:
+            agg[cat] += self_time[i]
+    total = sum(agg.values())
+    return {
+        "total_s": round(total / 1e6, 2),
+        "by_category_pct": {c: round(100.0 * t / total, 1)
+                            for c, t in agg.most_common(12)},
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("trace_dir")
     p.add_argument("--top", type=int, default=12)
+    p.add_argument("--categories", action="store_true",
+                   help="also print the device self-time split by "
+                        "hlo_category")
     ns = p.parse_args()
     paths = sorted(glob.glob(os.path.join(ns.trace_dir, "**",
                                           "*.trace.json*"),
@@ -76,7 +124,10 @@ def main():
         print(f"no trace.json files under {ns.trace_dir}", file=sys.stderr)
         sys.exit(1)
     for path in paths:
-        print(json.dumps(analyze(path, ns.top), indent=1))
+        out = analyze(path, ns.top)
+        if ns.categories:
+            out["device_self_time"] = category_self_time(path)
+        print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":
