@@ -163,14 +163,23 @@ def adapt_dts(dts: np.ndarray, acc: np.ndarray, dt0: np.ndarray,
 
 def chain_health(dts: np.ndarray, acc: np.ndarray, dt0: np.ndarray,
                  lo: float = 0.60,
-                 min_factor: float = DT_MIN_FACTOR) -> np.ndarray:
-    """Boolean mask of UNHEALTHY chains: pinned at the dt floor while still
-    below the acceptance window.  dt shrinkage alone cannot rescue these —
-    they need more leapfrog steps (Nt escalation) or a longer schedule —
-    so the scan logs them per point rather than silently emitting a
+                 min_factor: float = DT_MIN_FACTOR,
+                 acc_floor: float = 0.05) -> np.ndarray:
+    """Boolean mask of UNHEALTHY chains, two independent conditions:
+
+    * pinned at the dt floor while still below the acceptance window —
+      dt shrinkage alone cannot rescue these; they need more leapfrog
+      steps (Nt escalation) or a longer schedule;
+    * acceptance at/under ``acc_floor`` in the last window REGARDLESS of
+      dt (VERDICT r3: the β=1e4/1e5 run sat at dt factor 0.0625 — just
+      above the 0.05 floor test — with ZERO accepts and reported
+      ``unhealthy_chains: 0``; a chain that accepted nothing is unhealthy
+      no matter where its dt is).
+
+    The scan logs these per point rather than silently emitting a
     decorrelated chain."""
     at_floor = dts <= dt0 * min_factor * 1.0001
-    return at_floor & (acc < lo)
+    return (at_floor & (acc < lo)) | (acc <= acc_floor)
 
 
 def nt_buckets(acc_point: np.ndarray, Nt0: int,
@@ -222,6 +231,7 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     ``checkpoint_freq`` to ``bin_size × measure_transport_freq`` for a
     loss-free resume.
     """
+    cfg.validate()
     out_root = out_root or cfg.out_dir
     os.makedirs(out_root, exist_ok=True)
     log = TeeLogger(os.path.join(out_root, "scan.log"), cfg.verbose)
@@ -375,6 +385,42 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     if mesh is not None:
         states = shard_ensemble(states, mesh, sharding=sharding)
 
+    # --- β-ladder annealing (warm start) --------------------------------
+    # The reference never cold-starts a deep-cold point: its β-scan carries
+    # the chain state from each β into the next
+    # (scripts/benchmark_beta_scan.jl:66-87), so β=1e5 equilibrates with
+    # only 20 therm sweeps.  The vectorized-ensemble equivalent runs every
+    # chain through a geometric β ramp from min(β_target, anneal_start_beta)
+    # to β_target BEFORE thermalization: the chain reaching β=1e5 has by
+    # then equilibrated at each intermediate temperature — the same
+    # annealing physics, without serializing the grid.  Warm points
+    # (β ≤ anneal_start_beta) run their own target β throughout, so the
+    # ramp is a no-op for them.
+    anneal_factor = np.ones(n_run)
+    if n_done0 == 0 and cfg.anneal_stages > 0:
+        Nt_a = cfg.Nt_therm_init
+        b_origin = np.minimum(beta_per_chain, cfg.anneal_start_beta)
+        K = cfg.anneal_stages
+        log(f"Annealing: {K} stage(s) x {cfg.anneal_sweeps} sweep(s), "
+            f"geometric β ramp from min(β, {cfg.anneal_start_beta:g}) "
+            f"(reference warm-start idiom, benchmark_beta_scan.jl:66-87)")
+        for k in range(1, K + 1):
+            beta_k = b_origin * (beta_per_chain / b_origin) ** (k / K)
+            params_k = _broadcast_params(base, n_run, beta=beta_k)
+            dt0_k = np.asarray([calc_optimal_dt(b, cfg.J, cfg.mass, Nt_a)
+                                for b in beta_k])
+            dt_k = dt0_k * anneal_factor
+            states, seg = seg_fn(lat, params_k, states, cfg.anneal_sweeps,
+                                 Nt_a, jnp.asarray(dt_k, dtype=dtype),
+                                 False, 0, 0, anchor_every=1)
+            acc_k = np.asarray(seg.accepted).mean(axis=0)
+            dt_k = adapt_dts(dt_k, acc_k, dt0_k,
+                             med_absdH=np.median(
+                                 np.abs(np.asarray(seg.dH)), axis=0))
+            anneal_factor = dt_k / dt0_k
+            log(f"Anneal stage {k}/{K} (β up to {beta_k.max():.3g}): "
+                f"acc [{acc_k.min():.2f}, {acc_k.max():.2f}]")
+
     # --- thermalization: probe window + bucketed per-point Nt -----------
     # window-5 controller toward the reference's 0.60–0.95 acceptance band
     # (src/Simulation.jl:99-130): a probe window at the initial Nt sorts
@@ -388,7 +434,7 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     window = 5
     dt0 = np.asarray(
         [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_th) for b in beta_per_chain])
-    dts = dt0.copy()
+    dts = dt0 * anneal_factor   # carry the annealing ramp's learned shrink
     # chain → grid point (padded chains belong to the last point)
     point_of_chain = np.minimum(np.arange(n_run) // C, G - 1)
     Nt_chain = np.full(n_run, Nt_th, dtype=int)
@@ -562,12 +608,16 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
 
     freq = max(1, cfg.measure_transport_freq)
     n_done = n_done0
+    meas_acc_sum = np.zeros(n_run)
+    meas_acc_n = 0
     while n_done < cfg.n_measure:
         n = min(freq, cfg.n_measure - n_done)
         states, seg = seg_fn(lat, params, states, n, Nt_m, dt_m,
                              True, 0, 0)
         acc = np.asarray(seg.accepted)
         dH = np.asarray(seg.dH)
+        meas_acc_sum += acc.sum(axis=0)
+        meas_acc_n += n
         o = seg.observables
         cols = [np.asarray(x) for x in (
             o.total_energy, o.delta_amp, o.delta_local, o.delta_global,
@@ -623,6 +673,37 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         log(f"NOTE: final {cfg.n_measure % freq} sweep(s) had no transport "
             f"measurement (n_measure={cfg.n_measure} is not a multiple of "
             f"measure_transport_freq={freq}).")
+    # --- measurement-phase health ---------------------------------------
+    # The reference's controller only runs during thermalization, but it
+    # REACHES the window first; here a point whose acceptance collapsed
+    # during measurement must be flagged, not silently averaged (VERDICT
+    # r3: 50 sweeps at acc 0.25 are statistically nearly worthless).
+    if meas_acc_n:
+        import json as _json
+
+        meas_acc = meas_acc_sum / meas_acc_n
+        real = np.arange(n_run) < n_total
+        hp = os.path.join(out_root, "therm_health.json")
+        try:
+            with open(hp) as f:
+                health_all = _json.load(f)
+        except (OSError, ValueError):
+            health_all = {}
+        bad_pts = []
+        for g in range(G):
+            sel = (point_of_chain == g) & real
+            m = {"mean_acc": float(meas_acc[sel].mean()),
+                 "min_acc": float(meas_acc[sel].min()),
+                 "sweeps": int(meas_acc_n)}
+            health_all.setdefault(
+                f"{scan_param}_{values[g]:.6g}", {})["measurement"] = m
+            if m["min_acc"] < 0.60:
+                bad_pts.append(f"{scan_param}_{values[g]:.6g}")
+        write_json(hp, health_all)
+        if bad_pts:
+            log(f"WARNING: measurement-phase acceptance below the 0.60 "
+                f"window at {len(bad_pts)} point(s): {', '.join(bad_pts)} "
+                f"— statistics there are suspect (therm_health.json)")
     log("Scan done.")
     log.close()
     return {"dirs": dirs, "values": values.tolist(), "chains": n_total}

@@ -68,6 +68,7 @@ def _obs_rows(writer: CsvWriter, start_sweep: int, seg, n_chains: int):
 
 
 def run_simulation(cfg: RunConfig) -> dict:
+    cfg.validate()
     lat = cfg.lattice()
     spec = cfg.spectral()
     params = cfg.params()

@@ -22,8 +22,15 @@ and moves only the once-per-sweep Metropolis ENERGY readout to the host:
    the reference's 12×12 β-scan shape,
  * H is evaluated in f64: the sampled distribution becomes exp(−H_f64(Δ))
    EXACTLY (Δ lives on the f32-representable grid, which is merely the
-   state-space discretization), so acceptance stays in the reference's
-   0.60–0.95 window at any β.
+   state-space discretization).
+
+What this buys (measured, 12×12 clean lattice on hardware): the accept
+DECISIONS become exact — the β·√(2N)·2e-7·‖M‖ eigenvalue-noise term is
+gone from dH.  What remains is the real f32 TRAJECTORY error (|dH| ≈ 1
+at β=1e4 under the r3 cold-start protocol, examples/
+beta_extreme_validation.json), so window acceptance at extreme β also
+needs adequate thermalization/annealing and enough leapfrog resolution —
+see drivers/scan.py's β-ladder warm-start and docs/validation.md.
 
 Measured on CPU (12×12 instance): the f64 Rayleigh/eigh readout reproduces
 Σ_{E>0}E to 2e-13 absolute vs 2.4e-6 for f32 eigenvalues — i.e. dH error
@@ -120,8 +127,17 @@ def kinetic_energy_np(pi_re, pi_im, mass) -> np.ndarray:
 
 
 def _per_chain(x, b: int, i: int) -> float:
-    """Pick chain i from a possibly per-chain (length-b) parameter leaf."""
+    """Pick chain i from a possibly per-chain (length-b) parameter leaf.
+
+    A leaf that is neither scalar nor length-b means the caller subset the
+    states without subsetting params (or vice versa) — silently handing
+    every chain element 0's β would corrupt the exact readout, so fail
+    loudly instead (ADVICE r3)."""
     a = np.asarray(x, np.float64).reshape(-1)
+    if a.size not in (1, b):
+        raise ValueError(
+            f"per-chain params leaf has size {a.size}, but the state batch "
+            f"is {b}: params and states were subset inconsistently")
     return float(a[i]) if a.size == b else float(a[0])
 
 

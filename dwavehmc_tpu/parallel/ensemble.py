@@ -404,6 +404,32 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
     return states, SegmentResult(accepted=acc, dH=dH, observables=obs)
 
 
+def _hostacc_fingerprint(params, disorder, delta_re, delta_im,
+                         params_axis) -> str:
+    """Identity+state fingerprint for the host-readout potential cache.
+
+    Disorder alone is NOT sufficient: on a clean lattice (n_imp=0, the
+    reference's β-scan config, scripts/batch_scan_beta.jl:10-13) every
+    equal-sized chain subset has the identical all-zeros disorder vector,
+    and the bucketed thermalization hands different subsets — at
+    different β — through the same cache (ADVICE r3, high).  Hash the Δ
+    field bytes and the per-chain couplings too; all of these are stable
+    across back-to-back segments of the same chains, so cross-segment
+    caching still works.
+    """
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(b"ax0" if params_axis == 0 else b"axN")
+    h.update(np.ascontiguousarray(disorder).tobytes())
+    h.update(np.ascontiguousarray(delta_re).tobytes())
+    h.update(np.ascontiguousarray(delta_im).tobytes())
+    for leaf in (params.beta, params.J, params.t, params.tp, params.mu,
+                 params.mass):
+        h.update(np.asarray(leaf, np.float64).tobytes())
+    return h.hexdigest()
+
+
 def run_segment_hostacc(lat, params, states, n_sweeps, Nt, dt, *,
                         measure=True, params_axis=None, dt_axis=None,
                         tracked_iters=6, ns_steps=2, rot_dtype=None,
@@ -421,10 +447,14 @@ def run_segment_hostacc(lat, params, states, n_sweeps, Nt, dt, *,
     for forces/observables/transport.  The potential of the CURRENT state
     is cached in ``pot_cache`` (a dict) and updated on accept — pass the
     returned dict back in across segments.  The cache self-validates
-    against a fingerprint of the per-chain disorder, so handing it a
-    different chain subset (the scan driver's bucketed thermalization)
-    safely triggers a recompute; it does assume the caller never rewinds
-    the SAME chains to an older state between segments (no driver does).
+    against a fingerprint of the chain IDENTITY AND STATE — disorder,
+    the Δ field bytes, and the per-chain couplings (β/J/t/t'/μ/m) — so
+    handing it a different chain subset OR the same-shaped subset at
+    different parameters (the scan driver's bucketed thermalization on a
+    clean lattice, where every disorder vector is all-zeros) safely
+    triggers a recompute.  On return the stored fingerprint is refreshed
+    to the final state, so passing the dict straight back in across
+    segments still hits.
 
     Returns (states, SegmentResult, pot_cache).  Inherently one dispatch
     pair per sweep (decisions are sequential on the host), so use it for
@@ -439,7 +469,9 @@ def run_segment_hostacc(lat, params, states, n_sweeps, Nt, dt, *,
     disorder = np.asarray(states.disorder)
     b = disorder.shape[0]
     mass = mass_array_np(params, b, params_axis=params_axis)
-    fp = hash(disorder.tobytes())
+    fp = _hostacc_fingerprint(params, disorder,
+                              np.asarray(states.delta_re),
+                              np.asarray(states.delta_im), params_axis)
     if pot_cache is None:
         pot_cache = {}
     if pot_cache.get("fp") != fp:
@@ -475,6 +507,12 @@ def run_segment_hostacc(lat, params, states, n_sweeps, Nt, dt, *,
     dH = jnp.concatenate(dHs)
     obs = (jax.tree.map(lambda *xs: jnp.concatenate(xs), *obss)
            if measure else None)
+    # Refresh the fingerprint to the FINAL state so the very same cache
+    # dict hits on the next segment of these chains (accepts moved Δ).
+    pot_cache["fp"] = _hostacc_fingerprint(params, disorder,
+                                           np.asarray(states.delta_re),
+                                           np.asarray(states.delta_im),
+                                           params_axis)
     return states, SegmentResult(accepted=acc, dH=dH,
                                  observables=obs), pot_cache
 

@@ -90,6 +90,23 @@ class RunConfig:
     #                                 the worst chain's acceptance < 0.60
     #                                 (reference controller intent under a
     #                                 single static-shape ensemble)
+    anneal_stages: int = 0          # vectorized scan: β-ladder warm start.
+    #                                 The reference carries the chain state
+    #                                 from each β point into the next
+    #                                 (benchmark_beta_scan.jl:66-87), which
+    #                                 is how it equilibrates β=1e5 with 20
+    #                                 therm sweeps; a cold start cannot.
+    #                                 The vectorized equivalent: before
+    #                                 thermalization, each chain runs
+    #                                 `anneal_stages` stages of
+    #                                 `anneal_sweeps` sweeps along a
+    #                                 geometric β ramp from
+    #                                 min(β_target, anneal_start_beta) up
+    #                                 to β_target.  0 = off.
+    anneal_sweeps: int = 5          # sweeps per annealing stage
+    anneal_start_beta: float = 100.0  # ramp origin; chains with
+    #                                 β ≤ this skip the ramp (they run
+    #                                 their target β throughout)
     # io
     out_dir: str = "runs/run"
     verbose: bool = True
@@ -133,6 +150,28 @@ class RunConfig:
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
+
+    def validate(self) -> None:
+        """Reject silently-unsupported combinations at driver entry.
+
+        ``metropolis_readout='host'`` is only wired through the tracked
+        real-path segment runner (parallel/ensemble.run_segment_hostacc);
+        with eigh_mode='exact' or the complex path it would silently fall
+        back to the f32 device ΔH — precisely the regime where the user
+        asked for exactness (ADVICE r3)."""
+        if self.metropolis_readout not in ("device", "host"):
+            raise ValueError(
+                f"metropolis_readout={self.metropolis_readout!r}: expected "
+                "'device' or 'host'")
+        if self.metropolis_readout == "host":
+            if self.eigh_mode != "tracked" or self.resolved_path() != "real":
+                raise ValueError(
+                    "metropolis_readout='host' requires eigh_mode='tracked' "
+                    "and the real compute path (got eigh_mode="
+                    f"{self.eigh_mode!r}, path={self.resolved_path()!r}); "
+                    "the exact host-f64 readout is wired through the "
+                    "tracked real-path runner only — see "
+                    "parallel/ensemble.run_segment_hostacc")
 
 
 def add_cli_args(parser: argparse.ArgumentParser,

@@ -87,7 +87,11 @@ def category_self_time(path):
                 and "XLA Ops" in tnames.get((e["pid"], e.get("tid")), "")):
             lst.append((e["ts"], e.get("dur", 0.0),
                         e.get("args", {}).get("hlo_category", "?")))
-    lst.sort()
+    # Sort longer events first at equal start so a child sharing its
+    # parent's start timestamp nests UNDER the parent rather than before
+    # it (ADVICE r3: bare (ts, dur) ascending mis-attributed the parent's
+    # duration to the child's self-time).
+    lst.sort(key=lambda e: (e[0], -e[1]))
     self_time = [0.0] * len(lst)
     stack = []
     for i, (ts, dur, _cat) in enumerate(lst):

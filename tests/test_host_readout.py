@@ -28,6 +28,7 @@ from dwavehmc_tpu.ops.host_energy import (
     potential_energy_np,
 )
 from dwavehmc_tpu.parallel.ensemble import (
+    _hostacc_fingerprint,
     init_ensemble_real,
     run_segment_hostacc,
     run_segment_tracked,
@@ -138,20 +139,64 @@ def test_hostacc_cache_consistency_and_fingerprint():
 
     # poisoned cache with a WRONG fingerprint: must be recomputed, so the
     # run matches a cache-free run exactly
-    bad = {"fp": 123456789, "pot": np.full(2, 1e9)}
+    bad = {"fp": "not-a-real-fingerprint", "pot": np.full(2, 1e9)}
     _, res_a, _ = run_segment_hostacc(LAT, params,
                                       jax.tree.map(lambda x: x, states),
                                       2, 6, dt, measure=False, pot_cache=bad)
-    _, res_b, cache = run_segment_hostacc(LAT, params, states, 2, 6, dt,
-                                          measure=False)
+    s_b, res_b, cache = run_segment_hostacc(LAT, params, states, 2, 6, dt,
+                                            measure=False)
     np.testing.assert_array_equal(np.asarray(res_a.dH), np.asarray(res_b.dH))
-    assert cache["fp"] == hash(np.asarray(states.disorder).tobytes())
+    # the returned fingerprint covers the FINAL state (so the same dict
+    # hits on the next back-to-back segment of these chains)
+    assert cache["fp"] == _hostacc_fingerprint(
+        params, np.asarray(s_b.disorder), np.asarray(s_b.delta_re),
+        np.asarray(s_b.delta_im), None)
 
-    # a poisoned cache with the CORRECT fingerprint is trusted (shifts dH)
-    bad2 = {"fp": cache["fp"], "pot": cache["pot"] + 1.0}
+    # a poisoned cache whose fingerprint matches the handed-in state is
+    # trusted (shifts dH) — cross-segment caching still works
+    fp0 = _hostacc_fingerprint(params, np.asarray(states.disorder),
+                               np.asarray(states.delta_re),
+                               np.asarray(states.delta_im), None)
+    pot0 = potential_batch_np(LAT, params, np.asarray(states.disorder),
+                              np.asarray(states.delta_re),
+                              np.asarray(states.delta_im))
+    bad2 = {"fp": fp0, "pot": pot0 + 1.0}
     _, res_c, _ = run_segment_hostacc(LAT, params, states, 1, 6, dt,
                                       measure=False, pot_cache=bad2)
     assert not np.allclose(np.asarray(res_c.dH)[0], np.asarray(res_b.dH)[0])
+
+
+def test_hostacc_cache_not_shared_across_clean_subsets():
+    """Regression (ADVICE r3, high): on a CLEAN lattice every equal-sized
+    chain subset has the identical all-zeros disorder vector, and the
+    bucketed thermalization hands different subsets — at different β —
+    through the same cache dict.  Subset B handed subset A's cache must
+    recompute, not trust A's potentials."""
+    params_a, states_a = _mini_ensemble(50.0, n_chains=2, seed=0)
+    params_b, states_b = _mini_ensemble(2000.0, n_chains=2, seed=1)
+    assert np.all(np.asarray(states_a.disorder) == 0.0)
+    assert np.all(np.asarray(states_b.disorder) == 0.0)
+    dt_a = calc_optimal_dt(50.0, 0.8, 1.0, 6)
+    dt_b = calc_optimal_dt(2000.0, 0.8, 1.0, 6)
+
+    _, _, cache_a = run_segment_hostacc(LAT, params_a, states_a, 2, 6, dt_a,
+                                        measure=False)
+    # B with A's cache == B cache-free, byte for byte
+    _, res_poison, _ = run_segment_hostacc(
+        LAT, params_b, jax.tree.map(lambda x: x, states_b), 2, 6, dt_b,
+        measure=False, pot_cache=dict(cache_a))
+    _, res_fresh, _ = run_segment_hostacc(LAT, params_b, states_b, 2, 6,
+                                          dt_b, measure=False)
+    np.testing.assert_array_equal(np.asarray(res_poison.dH),
+                                  np.asarray(res_fresh.dH))
+    # and same-params same-states different Δ must also miss
+    fp1 = _hostacc_fingerprint(params_a, np.asarray(states_a.disorder),
+                               np.asarray(states_a.delta_re),
+                               np.asarray(states_a.delta_im), None)
+    fp2 = _hostacc_fingerprint(params_a, np.asarray(states_a.disorder),
+                               np.asarray(states_a.delta_re) + 1e-3,
+                               np.asarray(states_a.delta_im), None)
+    assert fp1 != fp2
 
 
 @pytest.mark.parametrize("beta", [1e4, 1e5])

@@ -138,8 +138,13 @@ def test_adapt_dts_controller():
     # chains, not a floored chain whose acceptance recovered
     bad = chain_health(d, np.array([0.0, 0.0, 0.7, 0.96]), dt0)
     assert bad.tolist() == [True, True, False, False]
-    healthy = chain_health(dt0.copy(), np.zeros(4), dt0)   # not at floor
-    assert not healthy.any()
+    # a chain that accepted NOTHING in its last window is unhealthy
+    # regardless of where its dt sits (VERDICT r3: β=1e4/1e5 sat at dt
+    # factor 0.0625 — above the floor test — with zero accepts and
+    # reported unhealthy_chains: 0)
+    off_floor = chain_health(dt0 * 0.0625, np.array([0.0, 0.3, 0.7, 0.96]),
+                             dt0)
+    assert off_floor.tolist() == [True, False, False, False]
 
 
 def test_adapt_dts_second_order():
@@ -347,3 +352,53 @@ def test_vectorized_resume_preserves_partial_bins(tmp_path):
         # bins complete at sweeps 2 (pre), 4 (STRADDLES the checkpoint:
         # measurement 3 pre + 4 post), 6 (post) — nothing lost
         assert sorted(bins) == [2, 4, 6], sorted(bins)
+
+
+def test_vectorized_anneal_warm_start(tmp_path):
+    """β-ladder warm start (reference idiom: benchmark_beta_scan.jl:66-87
+    carries the chain state up the β ladder).  anneal_stages>0 must (a)
+    log the ramp, (b) leave warm points (β ≤ anneal_start_beta) unaffected
+    in distribution, and (c) still produce the standard artifacts plus the
+    measurement-phase health section."""
+    root = str(tmp_path / "anneal")
+    cfg = tiny_cfg(root, J=1.6, W=0.0, n_imp=0.0, n_chains=1,
+                   n_therm=10, n_measure=6, measure_transport_freq=3,
+                   bin_size=2, anneal_stages=3, anneal_sweeps=2,
+                   anneal_start_beta=5.0)
+    out = run_scan_vectorized(cfg, [0.5, 50.0], scan_param="beta",
+                              replicas=2)
+    with open(os.path.join(root, "scan.log")) as f:
+        log_text = f.read()
+    assert "Anneal stage 3/3" in log_text
+    assert len(out["dirs"]) == 2
+
+    # measurement-phase health recorded per point (VERDICT r3 weak 4)
+    import json
+    with open(os.path.join(root, "therm_health.json")) as f:
+        health = json.load(f)
+    for key in ("beta_0.5", "beta_50"):
+        assert "measurement" in health[key], health.keys()
+        m = health[key]["measurement"]
+        assert 0.0 <= m["min_acc"] <= m["mean_acc"] <= 1.0
+        assert m["sweeps"] == 6
+
+    # cold point must order; the ramp must not break the physics
+    with open(os.path.join(out["dirs"][1], "observables.csv")) as f:
+        rows = f.read().strip().split("\n")[1:]
+    pair = np.mean([float(r.split(",")[11]) for r in rows])
+    assert pair > 0.1, pair
+
+
+def test_anneal_ramp_is_noop_for_warm_points():
+    """The geometric ramp formula: a chain with β_target ≤ anneal_start_beta
+    runs its own target β at every stage."""
+    beta_t = np.array([0.5, 5.0, 100.0, 1e5])
+    b_origin = np.minimum(beta_t, 100.0)
+    for k in range(1, 4):
+        beta_k = b_origin * (beta_t / b_origin) ** (k / 3)
+        # warm chains pinned at target
+        np.testing.assert_allclose(beta_k[:3], beta_t[:3])
+        # cold chain ramps monotonically toward target
+        assert 100.0 < beta_k[3] <= 1e5 or k == 0
+    np.testing.assert_allclose(
+        b_origin * (beta_t / b_origin) ** (3 / 3), beta_t)

@@ -159,13 +159,13 @@ def test_program_step_budget_counts_anchor_leapfrog(monkeypatch):
     def spy(lat, params, states, n_cheap, Nt, dt, tracked_iters,
             refine_iters, measure=True, params_axis=None, dt_axis=None,
             polish_iters=0, ns_steps=2, rot_dtype=None, final_leapfrog=True,
-            polish_precision="highest", polish_correction=False):
+            polish_precision="highest", polish_correction=False, unroll=1):
         calls.append((n_cheap, Nt, final_leapfrog))
         return real_block(lat, params, states, n_cheap, Nt, dt,
                           tracked_iters, refine_iters, measure, params_axis,
                           dt_axis, polish_iters, ns_steps, rot_dtype,
                           final_leapfrog, polish_precision,
-                          polish_correction)
+                          polish_correction, unroll)
 
     monkeypatch.setattr(ens, "_tracked_block_jit", spy)
 
