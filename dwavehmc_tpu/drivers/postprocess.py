@@ -183,6 +183,10 @@ def summarize_scan(scan_root: str, prefix: str, value_name: str = "T"
         with open(out_path, "w") as f:
             f.write(",".join(keys) + "\n")
             for r in rows:
-                f.write(",".join(f"{r.get(k, float('nan')):.6g}"
+                # a key missing at this point (e.g. an integer *_nonfinite
+                # count only emitted where diagnostics fired) is an EMPTY
+                # cell, not a float nan — nan in a count column reads as
+                # data corruption (VERDICT r3)
+                f.write(",".join(f"{r[k]:.6g}" if k in r else ""
                                  for k in keys) + "\n")
     return out_path

@@ -123,12 +123,30 @@ def _broadcast_params(base: ModelParams, n: int, **per_chain) -> ModelParams:
 DT_MIN_FACTOR = 0.05
 
 
+#: Reversibility guard (see adapt_dts): a chain whose window MEDIAN dH
+#: sits below −NEG_DH_GUARD is treated as biased and its dt shrinks; one
+#: below −NEG_DH_BLOCK merely stops growing.  For a reversible proposal
+#: at stationarity ⟨e^{−dH}⟩ = 1 forces the dH distribution to be
+#: centered ≳ 0 — a persistently negative median is only reachable when
+#: the proposal map itself is biased.  Measured: the tracked leapfrog's
+#: warm-started basis lags at grown dt (the force at step i depends on
+#: the basis carried along the FORWARD path, so the map is not
+#: time-reversible once the tracking residual is large); at 4×dt0 this
+#: produces acc = 1.0 with median dH = −0.59 at 8×8 (CPU repro) and
+#: −4.8 at 24×24 (examples/T_scan_full_24x24 hot points) — the
+#: acceptance-only controller then grows dt INTO the pathology, since
+#: biased acceptance pins at 1.0.
+NEG_DH_GUARD = 0.5
+NEG_DH_BLOCK = 0.05
+
+
 def adapt_dts(dts: np.ndarray, acc: np.ndarray, dt0: np.ndarray,
               lo: float = 0.60, hi: float = 0.95, shrink: float = 0.7,
               grow: float = 1.1, max_factor: float = 4.0,
               min_factor: float = DT_MIN_FACTOR,
               med_absdH: np.ndarray | None = None,
-              dH_target: float = 0.5) -> np.ndarray:
+              dH_target: float = 0.5,
+              med_dH: np.ndarray | None = None) -> np.ndarray:
     """Per-chain step-size controller for the vectorized scan.
 
     The reference's thermalization controller retunes (Nt, dt) per point
@@ -148,6 +166,14 @@ def adapt_dts(dts: np.ndarray, acc: np.ndarray, dt0: np.ndarray,
     per window.  The fixed 0.7× nudge alone cannot rescue deep-cold
     points — at β=1e4 the needed shrink is ~8× and a 20-sweep schedule
     offers only four windows.
+
+    When the window's SIGNED median dH is supplied, the reversibility
+    guard applies (see NEG_DH_GUARD): a chain with median dH below
+    −NEG_DH_GUARD shrinks even at perfect acceptance (the tracked-basis
+    lag pathology — acceptance pinned at 1.0 by a biased proposal map),
+    and growth is blocked below −NEG_DH_BLOCK.  Without it the
+    acceptance-only rule feeds back INTO the pathology: biased dH < 0 →
+    acc = 1 → grow dt → more bias.
     """
     if med_absdH is not None:
         f = np.sqrt(dH_target / np.maximum(med_absdH, 1e-6))
@@ -157,7 +183,14 @@ def adapt_dts(dts: np.ndarray, acc: np.ndarray, dt0: np.ndarray,
     else:
         dts = np.where(acc < lo, np.maximum(dts * shrink, dt0 * min_factor),
                        dts)
-    dts = np.where(acc > hi, np.minimum(dts * grow, dt0 * max_factor), dts)
+    if med_dH is not None:
+        dts = np.where(med_dH < -NEG_DH_GUARD,
+                       np.maximum(dts * shrink, dt0 * min_factor), dts)
+        grow_ok = med_dH > -NEG_DH_BLOCK
+    else:
+        grow_ok = np.ones_like(acc, dtype=bool)
+    dts = np.where((acc > hi) & grow_ok,
+                   np.minimum(dts * grow, dt0 * max_factor), dts)
     return dts
 
 
@@ -414,9 +447,10 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                                  Nt_a, jnp.asarray(dt_k, dtype=dtype),
                                  False, 0, 0, anchor_every=1)
             acc_k = np.asarray(seg.accepted).mean(axis=0)
+            dH_k = np.asarray(seg.dH)
             dt_k = adapt_dts(dt_k, acc_k, dt0_k,
-                             med_absdH=np.median(
-                                 np.abs(np.asarray(seg.dH)), axis=0))
+                             med_absdH=np.median(np.abs(dH_k), axis=0),
+                             med_dH=np.median(dH_k, axis=0))
             anneal_factor = dt_k / dt0_k
             log(f"Anneal stage {k}/{K} (β up to {beta_k.max():.3g}): "
                 f"acc [{acc_k.min():.2f}, {acc_k.max():.2f}]")
@@ -439,6 +473,7 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     point_of_chain = np.minimum(np.arange(n_run) // C, G - 1)
     Nt_chain = np.full(n_run, Nt_th, dtype=int)
     acc_chain = np.ones(n_run)
+    med_dH_chain = np.zeros(n_run)
 
     done = 0 if n_done0 == 0 else cfg.n_therm   # resumed: already thermal
     if done < cfg.n_therm:
@@ -448,9 +483,11 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                              anchor_every=1)
         done += n
         acc_chain = np.asarray(seg.accepted).mean(axis=0)   # (n_run,)
+        dH_w = np.asarray(seg.dH)
+        med_dH_chain = np.median(dH_w, axis=0)
         dts = adapt_dts(dts, acc_chain, dt0,
-                        med_absdH=np.median(
-                            np.abs(np.asarray(seg.dH)), axis=0))
+                        med_absdH=np.median(np.abs(dH_w), axis=0),
+                        med_dH=med_dH_chain)
         log(f"Therm probe {done}/{cfg.n_therm}: acc "
             f"[{acc_chain.min():.2f}, {acc_chain.max():.2f}]")
 
@@ -477,6 +514,7 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
             # preserve the probe window's learned per-chain correction
             dts_b = dt0_b * (dts[rows] / dt0[rows])
             Nt_chain[rows] = Nt_b
+            med_dH_b = np.zeros(len(rows))
             Nt_cur, escal_left, done_b = Nt_b, 2, done
             while done_b < cfg.n_therm:
                 n = min(window, cfg.n_therm - done_b)
@@ -507,10 +545,12 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                     dts_b = dt0_b * ratio
                     Nt_chain[rows] = Nt_cur
                     continue
+                dH_b = np.asarray(seg.dH)
+                med_dH_b = np.median(dH_b, axis=0)
                 dts_b = adapt_dts(dts_b, acc_b, dt0_b,
-                                  med_absdH=np.median(
-                                      np.abs(np.asarray(seg.dH)), axis=0))
-            merged.append((rows, st_b, dts_b, dt0_b, acc_b))
+                                  med_absdH=np.median(np.abs(dH_b), axis=0),
+                                  med_dH=med_dH_b)
+            merged.append((rows, st_b, dts_b, dt0_b, acc_b, med_dH_b))
             log(f"Therm bucket Nt={Nt_cur} done ({len(pts)} point(s)), "
                 f"acc [{acc_b.min():.2f}, {acc_b.max():.2f}]")
         # merge buckets back in original chain order
@@ -525,11 +565,13 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         dts = np.concatenate([m[2] for m in merged])[inv]
         dt0 = np.concatenate([m[3] for m in merged])[inv]
         acc_chain = np.concatenate([m[4] for m in merged])[inv]
+        med_dH_chain = np.concatenate([m[5] for m in merged])[inv]
 
     if n_done0 == 0:
         # per-point health: a chain pinned at the dt floor while below the
         # acceptance window cannot be rescued by dt shrinkage — surface it
         unhealthy = chain_health(dts, acc_chain, dt0)
+        biased = med_dH_chain < -NEG_DH_GUARD
         health = {}
         for g in range(G):
             sel = point_of_chain == g
@@ -537,7 +579,9 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                 "Nt_therm": int(Nt_chain[np.flatnonzero(sel)[0]]),
                 "min_acc_last_window": float(acc_chain[sel].min()),
                 "dt_factor_min": float((dts[sel] / dt0[sel]).min()),
+                "med_dH_last_window": float(med_dH_chain[sel].min()),
                 "unhealthy_chains": int(unhealthy[sel].sum()),
+                "neg_dH_biased_chains": int(biased[sel].sum()),
             }
         write_json(os.path.join(out_root, "therm_health.json"), health)
         n_bad = int(unhealthy[:n_total].sum())
@@ -545,6 +589,11 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
             log(f"WARNING: {n_bad} chain(s) pinned at the dt floor with "
                 f"acceptance < 0.60 after thermalization — see "
                 f"therm_health.json")
+        n_biased = int(biased[:n_total].sum())
+        if n_biased:
+            log(f"WARNING: {n_biased} chain(s) end thermalization with "
+                f"median dH < -{NEG_DH_GUARD} (tracked-basis reversibility "
+                f"bias; dt should have shrunk — see therm_health.json)")
         log(f"Thermalization done ({cfg.n_therm} sweeps, Nt "
             f"{Nt_chain.min()}..{Nt_chain.max()}), "
             f"mean acc={acc_chain.mean():.2f}")
@@ -610,6 +659,7 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     n_done = n_done0
     meas_acc_sum = np.zeros(n_run)
     meas_acc_n = 0
+    meas_dH_chunks = []
     while n_done < cfg.n_measure:
         n = min(freq, cfg.n_measure - n_done)
         states, seg = seg_fn(lat, params, states, n, Nt_m, dt_m,
@@ -618,6 +668,7 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         dH = np.asarray(seg.dH)
         meas_acc_sum += acc.sum(axis=0)
         meas_acc_n += n
+        meas_dH_chunks.append(dH)
         o = seg.observables
         cols = [np.asarray(x) for x in (
             o.total_energy, o.delta_amp, o.delta_local, o.delta_global,
@@ -682,6 +733,8 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         import json as _json
 
         meas_acc = meas_acc_sum / meas_acc_n
+        meas_med_dH = np.median(np.concatenate(meas_dH_chunks, axis=0),
+                                axis=0)
         real = np.arange(n_run) < n_total
         hp = os.path.join(out_root, "therm_health.json")
         try:
@@ -689,21 +742,30 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                 health_all = _json.load(f)
         except (OSError, ValueError):
             health_all = {}
-        bad_pts = []
+        bad_pts, biased_pts = [], []
         for g in range(G):
             sel = (point_of_chain == g) & real
             m = {"mean_acc": float(meas_acc[sel].mean()),
                  "min_acc": float(meas_acc[sel].min()),
+                 "med_dH": float(meas_med_dH[sel].min()),
                  "sweeps": int(meas_acc_n)}
             health_all.setdefault(
                 f"{scan_param}_{values[g]:.6g}", {})["measurement"] = m
             if m["min_acc"] < 0.60:
                 bad_pts.append(f"{scan_param}_{values[g]:.6g}")
+            if m["med_dH"] < -NEG_DH_GUARD:
+                biased_pts.append(f"{scan_param}_{values[g]:.6g}")
         write_json(hp, health_all)
         if bad_pts:
             log(f"WARNING: measurement-phase acceptance below the 0.60 "
                 f"window at {len(bad_pts)} point(s): {', '.join(bad_pts)} "
                 f"— statistics there are suspect (therm_health.json)")
+        if biased_pts:
+            log(f"WARNING: measurement-phase median dH < -{NEG_DH_GUARD} "
+                f"at {len(biased_pts)} point(s): {', '.join(biased_pts)} "
+                f"— a reversible sampler at equilibrium cannot sit there "
+                f"(tracked-basis lag bias); re-run with a smaller dt "
+                f"(therm_health.json)")
     log("Scan done.")
     log.close()
     return {"dirs": dirs, "values": values.tolist(), "chains": n_total}

@@ -30,6 +30,9 @@ def main():
         Lx=24, Ly=24, W=1.0, n_imp=0.05, J=0.8,
         n_therm=20, n_measure=100, Nt_therm_init=20, Nt_measure=6,
         measure_transport_freq=1, bin_size=10,
+        # β-ladder warm start for the cold tail (T ≤ 1e-2 ⇒ β ≥ 100):
+        # deep-cold points must not cold-start (see batch_scan_beta.py)
+        anneal_stages=10, anneal_sweeps=5, anneal_start_beta=100.0,
         out_dir="data/T_scan")
     p = argparse.ArgumentParser(description=__doc__)
     add_cli_args(p, defaults)

@@ -25,6 +25,10 @@ def main():
         Lx=12, Ly=12, W=1.0, n_imp=0.0, J=0.8,
         n_therm=20, n_measure=100, Nt_therm_init=20, Nt_measure=6,
         measure_transport_freq=1, bin_size=10,
+        # the reference warm-starts every β point from the previous one
+        # (benchmark_beta_scan.jl:66-87); the vectorized equivalent is the
+        # geometric β-ladder ramp — on by default for this workload
+        anneal_stages=10, anneal_sweeps=5, anneal_start_beta=100.0,
         out_dir="data/beta_scan")
     p = argparse.ArgumentParser(description=__doc__)
     add_cli_args(p, defaults)

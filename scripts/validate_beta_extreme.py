@@ -40,6 +40,13 @@ def main():
         measure_transport_freq=1, bin_size=10,
         dtype="float32", path="real", eigh_mode="tracked", anchor_every=1,
         metropolis_readout="host",
+        # β-ladder warm start: the reference NEVER cold-starts β=1e5 — its
+        # scan carries the state up the ladder (benchmark_beta_scan.jl:
+        # 66-87).  10 stages × 5 sweeps of geometric ramp from β=100
+        # equilibrate each intermediate temperature first; the r3
+        # cold-start protocol failed (acc 0.39/0.48, observables 16 SEM
+        # apart — examples/beta_extreme_validation.json history).
+        anneal_stages=10, anneal_sweeps=5, anneal_start_beta=100.0,
         out_dir=root, checkpoint_freq=0, verbose=True)
     betas = [1e4, 1e5]
     run_scan_vectorized(cfg, betas, scan_param="beta", replicas=2)
@@ -83,7 +90,15 @@ def main():
     sem_r = max(p4["rho_s_sem"] + p5["rho_s_sem"], 1e-6)
     report["rho_s_gap_over_sem"] = round(
         abs(p4["rho_s"] - p5["rho_s"]) / sem_r, 2)
-    report["pass"] = bool(ok)
+    report["protocol"] = ("beta-ladder warm start (anneal_stages=10 x 5 "
+                          "sweeps from beta=100) + host-f64 readout; "
+                          "saturation criterion: beta=1e4 vs 1e5 within "
+                          "5 combined SEM")
+    # T→0 saturation: both observables must agree across the top decade
+    saturated = (report["delta_global_gap_over_sem"] <= 5.0
+                 and report["rho_s_gap_over_sem"] <= 5.0)
+    report["saturated"] = bool(saturated)
+    report["pass"] = bool(ok and saturated)
 
     out = os.path.join(here, "examples", "beta_extreme_validation.json")
     with open(out, "w") as f:

@@ -402,3 +402,64 @@ def test_anneal_ramp_is_noop_for_warm_points():
         assert 100.0 < beta_k[3] <= 1e5 or k == 0
     np.testing.assert_allclose(
         b_origin * (beta_t / b_origin) ** (3 / 3), beta_t)
+
+
+def test_adapt_dts_reversibility_guard():
+    """Negative-median-dH guard (hardware finding, r4): the tracked
+    leapfrog's warm-started basis makes the proposal map non-reversible
+    once the tracking residual is large (the force at step i depends on
+    the basis carried along the FORWARD path).  Measured: at 4x dt0 the
+    8x8 tracked chain sits at acc=1.000 with median dH=-0.59 (97%
+    negative) while the f64 exact path at the same dt is healthy
+    (mean dH=+0.32, acc 0.74) — impossible for a reversible sampler at
+    equilibrium (<e^-dH> = 1).  The acceptance-only controller then grows
+    dt INTO the pathology.  Guard: median dH < -NEG_DH_GUARD shrinks dt
+    even at perfect acceptance; growth is blocked below -NEG_DH_BLOCK."""
+    from dwavehmc_tpu.drivers.scan import NEG_DH_GUARD, adapt_dts
+
+    dt0 = np.array([0.1, 0.1, 0.1, 0.1])
+    dts = dt0 * 2.0
+    acc = np.ones(4)                            # acceptance pinned at 1.0
+    med = np.array([-4.8, -0.2, +0.03, -0.6])   # 24x24 hot-point value...
+    out = adapt_dts(dts, acc, dt0, med_dH=med)
+    assert out[0] < dts[0]                      # deep bias: shrink
+    assert out[1] == dts[1]                     # mild: no grow, no shrink
+    assert out[2] > dts[2]                      # healthy: grow as usual
+    assert out[3] < dts[3]                      # past guard: shrink
+    assert med[3] < -NEG_DH_GUARD
+    # without med_dH the old behavior is unchanged (grow at acc=1)
+    legacy = adapt_dts(dt0.copy(), acc, dt0)
+    assert np.all(legacy > dt0)
+
+
+def test_tracked_negative_dH_pathology_detected(tmp_path):
+    """End-to-end 4x4 regression: tracked f32 at 4x dt0 shows the
+    signature (acc = 1.0 with systematically negative dH) that the guard
+    exists to catch — if this stops reproducing, the guard thresholds
+    should be revisited."""
+    import jax
+    import jax.numpy as jnp
+
+    from dwavehmc_tpu.models.lattice import LatticeSpec
+    from dwavehmc_tpu.models.params import make_params
+    from dwavehmc_tpu.parallel.ensemble import (
+        init_ensemble_real,
+        run_segment_tracked,
+    )
+    from dwavehmc_tpu.sampler.hmc import calc_optimal_dt
+
+    lat = LatticeSpec(4, 4)
+    beta, J = 1.1, 0.8
+    params = make_params(t=1.0, tp=-0.35, mu=-1.08, W=1.0, n_imp=0.25,
+                         beta=beta, J=J, mass=1.0, dtype=jnp.float32)
+    st = init_ensemble_real(lat, params, jax.random.PRNGKey(0), 3,
+                            dtype=jnp.float32, n_imp=0.25)
+    Nt = 6
+    dt0 = calc_optimal_dt(beta, J, 1.0, Nt)
+    st, seg = run_segment_tracked(lat, params, st, 25, Nt, dt0 * 4.0,
+                                  False, None, None, 6, anchor_every=1)
+    dH = np.asarray(seg.dH)[10:]
+    acc = np.asarray(seg.accepted)[10:]
+    assert acc.mean() > 0.97, acc.mean()
+    assert (dH < 0).mean() > 0.75, (dH < 0).mean()
+    assert np.median(dH) < -0.05, np.median(dH)
