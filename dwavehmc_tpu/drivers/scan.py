@@ -601,16 +601,46 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     # --- measurement ----------------------------------------------------
     # carry the learned per-chain dt correction factor into the
     # measurement step size (reference recomputes dt per phase from the
-    # harmonic heuristic; the factor preserves the per-point tuning)
+    # harmonic heuristic; the factor preserves the per-point tuning).
+    # SHRINK only: growth earned at Nt_therm (trajectory-length surplus
+    # at acc > 0.95) would multiply the measurement STEP SIZE by the same
+    # factor on top of the 1/Nt_measure heuristic, and leapfrog error at
+    # fixed trajectory length scales like factor³/Nt² — a factor tuned
+    # harmless at Nt=20 carries ~11× the error at Nt=6 (measured: a
+    # 24-point β-scan whose anneal+therm grew factors to 2.2–3.1 at
+    # acc ≈ 1 collapsed to mean acc 0.44 with med dH +1…+4.5 in the
+    # measurement phase).  The reference's measurement dt is exactly the
+    # Nt_meas heuristic, factor 1 (src/Simulation.jl:131-149).
     Nt_m = cfg.Nt_measure
-    factor = dts / dt0
+    factor = np.minimum(dts / dt0, 1.0)
+    dt0_m = np.asarray([calc_optimal_dt(b, cfg.J, cfg.mass, Nt_m)
+                        for b in beta_per_chain])
     if dt_m_saved is not None:
         dt_m = jnp.asarray(dt_m_saved, dtype=dtype)
     else:
-        dt_m = jnp.asarray(
-            [calc_optimal_dt(b, cfg.J, cfg.mass, Nt_m) * f
-             for b, f in zip(beta_per_chain, factor)],
-            dtype=dtype)
+        dt_m_np = dt0_m * factor
+        # measurement pre-probe: a few adapt-only windows AT the
+        # measurement (Nt, dt) before any row is recorded — therm tuned
+        # dt at Nt_therm, the probe validates it at Nt_measure.  Shrink
+        # only (grow=1): growing here would re-introduce the factor³/Nt²
+        # hazard one window into the recorded statistics.
+        probe_left = 0 if n_done0 > 0 else int(cfg.meas_probe_sweeps)
+        while probe_left > 0:
+            n = min(window, probe_left)
+            states, seg = seg_fn(lat, params, states, n, Nt_m,
+                                 jnp.asarray(dt_m_np, dtype=dtype),
+                                 False, 0, 0)
+            probe_left -= n
+            acc_p = np.asarray(seg.accepted).mean(axis=0)
+            dH_p = np.asarray(seg.dH)
+            dt_m_np = adapt_dts(dt_m_np, acc_p, dt0_m, grow=1.0,
+                                med_absdH=np.median(np.abs(dH_p), axis=0),
+                                med_dH=np.median(dH_p, axis=0))
+            log(f"Meas probe ({n} sweep(s) at Nt={Nt_m}): acc "
+                f"[{acc_p.min():.2f}, {acc_p.max():.2f}]")
+            if acc_p.min() >= 0.60:
+                break
+        dt_m = jnp.asarray(dt_m_np, dtype=dtype)
 
     # per-point output channels
     dirs, f_obs, f_trans, stores = [], [], [], []
@@ -748,6 +778,8 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
             m = {"mean_acc": float(meas_acc[sel].mean()),
                  "min_acc": float(meas_acc[sel].min()),
                  "med_dH": float(meas_med_dH[sel].min()),
+                 "dt_factor_min": float(
+                     (np.asarray(dt_m)[sel] / dt0_m[sel]).min()),
                  "sweeps": int(meas_acc_n)}
             health_all.setdefault(
                 f"{scan_param}_{values[g]:.6g}", {})["measurement"] = m

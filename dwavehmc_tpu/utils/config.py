@@ -107,6 +107,14 @@ class RunConfig:
     anneal_start_beta: float = 100.0  # ramp origin; chains with
     #                                 β ≤ this skip the ramp (they run
     #                                 their target β throughout)
+    meas_probe_sweeps: int = 10     # vectorized scan: adapt-only sweeps
+    #                                 run AT the measurement (Nt, dt)
+    #                                 before any row is recorded — therm
+    #                                 tunes dt at Nt_therm; this validates
+    #                                 (shrink-only) at Nt_measure, where
+    #                                 the same trajectory length means a
+    #                                 Nt_therm/Nt_measure× larger step.
+    #                                 0 = off.
     # io
     out_dir: str = "runs/run"
     verbose: bool = True

@@ -463,3 +463,31 @@ def test_tracked_negative_dH_pathology_detected(tmp_path):
     assert acc.mean() > 0.97, acc.mean()
     assert (dH < 0).mean() > 0.75, (dH < 0).mean()
     assert np.median(dH) < -0.05, np.median(dH)
+
+
+def test_measurement_dt_never_carries_growth(tmp_path):
+    """dt growth learned during anneal/therm (acc > 0.95 at Nt_therm) must
+    NOT multiply the measurement step size: at fixed trajectory length the
+    leapfrog error scales like factor³/Nt², so a factor tuned harmless at
+    Nt_therm=20 carries ~11× the error at Nt_measure=6 (measured: a
+    24-point β-scan whose therm grew factors to 2.2–3.1 collapsed to mean
+    measurement acceptance 0.44 with med dH +1…+4.5).  The measurement dt
+    carries only the learned SHRINK, then a pre-probe validates it at the
+    measurement Nt before any row is recorded."""
+    import json
+
+    root = str(tmp_path / "growscan")
+    # Nt_therm_init=20 ⇒ tiny therm step ⇒ acc ≈ 1 ⇒ the controller grows
+    # dt every window (probe + bucket windows)
+    cfg = tiny_cfg(root, n_therm=10, n_measure=4, Nt_therm_init=20,
+                   Nt_measure=4, measure_transport_freq=2, bin_size=1,
+                   meas_probe_sweeps=5)
+    run_scan_vectorized(cfg, [0.5], scan_param="beta", replicas=2)
+    with open(os.path.join(root, "therm_health.json")) as f:
+        h = json.load(f)["beta_0.5"]
+    assert h["dt_factor_min"] > 1.05, (
+        "setup drift: therm no longer grows dt — the regression this test "
+        f"guards is unreachable (factor {h['dt_factor_min']})")
+    assert h["measurement"]["dt_factor_min"] <= 1.0 + 1e-6
+    with open(os.path.join(root, "scan.log")) as f:
+        assert "Meas probe" in f.read()
