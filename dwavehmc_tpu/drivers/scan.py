@@ -176,6 +176,11 @@ def adapt_dts(dts: np.ndarray, acc: np.ndarray, dt0: np.ndarray,
     acc = 1 → grow dt → more bias.
     """
     if med_absdH is not None:
+        # a chain whose window median |dH| is non-finite (diverged
+        # leapfrog at huge harmonic dt — e.g. T=1000 ⇒ dt0 ≈ 15 at Nt=6)
+        # must take the MAXIMAL trust-bounded shrink, not propagate nan
+        # into dt and kill the chain for the rest of the run
+        med_absdH = np.where(np.isfinite(med_absdH), med_absdH, np.inf)
         f = np.sqrt(dH_target / np.maximum(med_absdH, 1e-6))
         down = np.clip(np.minimum(f, shrink), 0.25, 1.0)
         dts = np.where(acc < lo, np.maximum(dts * down, dt0 * min_factor),

@@ -491,3 +491,27 @@ def test_measurement_dt_never_carries_growth(tmp_path):
     assert h["measurement"]["dt_factor_min"] <= 1.0 + 1e-6
     with open(os.path.join(root, "scan.log")) as f:
         assert "Meas probe" in f.read()
+
+
+def test_adapt_dts_nonfinite_dH_takes_max_shrink():
+    """A chain whose window median |dH| is non-finite (diverged leapfrog
+    at huge harmonic dt — measured at T=1000, 24×24: dt0 ≈ 15 at Nt=6,
+    non-finite dH in the measurement probe) must take the maximal
+    trust-bounded shrink.  Before the guard, sqrt(target/nan) poisoned dt
+    with nan and the chain was dead for the rest of the run
+    (acc 0.00, dt_factor nan in therm_health)."""
+    from dwavehmc_tpu.drivers.scan import adapt_dts
+
+    dt0 = np.array([1.0, 1.0, 1.0])
+    dts = dt0.copy()
+    acc = np.array([0.0, 0.0, 1.0])
+    med_abs = np.array([np.nan, np.inf, 0.1])
+    med = np.array([np.nan, np.nan, 0.0])
+    out = adapt_dts(dts, acc, dt0, med_absdH=med_abs, med_dH=med)
+    assert np.isfinite(out).all()
+    assert out[0] == 0.25 and out[1] == 0.25   # max trust-bounded shrink
+    assert out[2] >= dts[2]                    # healthy chain unaffected
+    # nan med_dH must also never unlock growth
+    out2 = adapt_dts(np.ones(1), np.ones(1), np.ones(1),
+                     med_dH=np.array([np.nan]))
+    assert out2[0] == 1.0
