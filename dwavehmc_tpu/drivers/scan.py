@@ -768,8 +768,13 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         import json as _json
 
         meas_acc = meas_acc_sum / meas_acc_n
-        meas_med_dH = np.median(np.concatenate(meas_dH_chunks, axis=0),
-                                axis=0)
+        dH_all = np.concatenate(meas_dH_chunks, axis=0)
+        # diverged proposals are valid (rejected) sweeps but would nan the
+        # median; report the finite median + an explicit non-finite count
+        with np.errstate(all="ignore"):
+            meas_med_dH = np.nanmedian(
+                np.where(np.isfinite(dH_all), dH_all, np.nan), axis=0)
+        meas_nonfinite = (~np.isfinite(dH_all)).sum(axis=0)
         real = np.arange(n_run) < n_total
         hp = os.path.join(out_root, "therm_health.json")
         try:
@@ -785,6 +790,7 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                  "med_dH": float(meas_med_dH[sel].min()),
                  "dt_factor_min": float(
                      (np.asarray(dt_m)[sel] / dt0_m[sel]).min()),
+                 "dH_nonfinite": int(meas_nonfinite[sel].sum()),
                  "sweeps": int(meas_acc_n)}
             health_all.setdefault(
                 f"{scan_param}_{values[g]:.6g}", {})["measurement"] = m
