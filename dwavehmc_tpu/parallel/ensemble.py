@@ -126,14 +126,27 @@ def ensemble_transport(lat: LatticeSpec, spec: SpectralSpec,
 def init_ensemble_real(lat: LatticeSpec, params: ModelParams, key,
                        n_chains: int, *, dtype=jnp.float32,
                        n_imp: float = 0.0, mesh: Mesh | None = None,
-                       exact_solver: str = "qdwh"):
+                       exact_solver: str = "qdwh",
+                       init_chunk: int | None = None):
+    """``init_chunk``: diagonalize the initial ensemble in sub-batches of
+    this many chains.  The QDWH eigh workspace is several dim² buffers
+    PER CHAIN (~0.5 GiB at 32×32), so a single (48, 4096, 4096) init
+    eigh RESOURCE_EXHAUSTs a 16 GiB chip whose steady-state segments fit
+    comfortably; init is once-per-run, so trading dispatches for bounded
+    workspace is free."""
     from ..sampler.hmc_real import init_chain_state_real
 
     keys = jax.random.split(key, n_chains)
     init = functools.partial(init_chain_state_real, lat, params,
                              dtype=dtype, n_imp=n_imp,
                              exact_solver=exact_solver)
-    states = jax.vmap(init)(keys)
+    if init_chunk is None or init_chunk >= n_chains:
+        states = jax.vmap(init)(keys)
+    else:
+        parts = [jax.vmap(init)(keys[i:i + init_chunk])
+                 for i in range(0, n_chains, init_chunk)]
+        states = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                              *parts)
     if mesh is not None:
         states = shard_ensemble(states, mesh)
     return states
@@ -291,6 +304,25 @@ def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
     return states, recs, proposal
 
 
+def _watchdog_chunk_caps(n_sites: int, batch: int, Nt: int,
+                         max_fused: int = 8) -> tuple[int, int]:
+    """(cheap-only sweeps/program, cheap sweeps fused with an anchor).
+
+    The 48/54-leapfrog-step program budgets were validated at 24×24/b64
+    (embedding dim 2304); per-step cost is matmul-dominated and scales
+    like dim³·batch, so at larger shapes the SAME step count overruns the
+    remote worker's ~90 s execution watchdog (observed: 32×32/b48 — each
+    step ~4.2× the validated cost — kernel-faulted the worker on an
+    8-sweep fused chunk that is safe at the validated shape).  The budget
+    therefore shrinks by the relative per-step cost; one sweep per
+    program is the floor (a single 32×32/b48 sweep is ~19 s — safe)."""
+    rel = max(1.0, (n_sites / 576.0) ** 3 * (batch / 64.0))
+    step_cap48 = max(Nt, int(48 / rel))
+    step_cap54 = max(Nt + 1, int(54 / rel))
+    return (max(1, min(max_fused, step_cap48 // max(1, Nt))),
+            max(0, min(max_fused, step_cap54 // max(1, Nt) - 1)))
+
+
 def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                         measure=True, params_axis=None, dt_axis=None,
                         tracked_iters=6, anchor_every=1, refine_iters=12,
@@ -363,8 +395,9 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
         # too large to fuse anything alongside the anchor (54//Nt < 2) the
         # anchor leapfrog is emitted as its own program (n_cheap=0 block),
         # never beyond the validated margin.
-        max_chunk = max(1, min(max_fused, 48 // max(1, Nt)))
-        anchor_fused = max(0, min(max_fused, 54 // max(1, Nt) - 1))
+        b_sz = jax.tree.leaves(states)[0].shape[0]
+        max_chunk, anchor_fused = _watchdog_chunk_caps(
+            lat.n_sites, b_sz, Nt, max_fused)
         done = 0
         while done < n_sweeps:
             k = min(anchor_every, n_sweeps - done)   # k-1 cheap + 1 anchored

@@ -237,7 +237,8 @@ def tpu_demo(out_path, batch, sweeps):
     est = estimate_memory(lat, batch)
     print(f"HBM estimate: {est}", file=sys.stderr)
     st = init_ensemble_real(lat, params, jax.random.PRNGKey(0), batch,
-                            dtype=jnp.float32, n_imp=0.05)
+                            dtype=jnp.float32, n_imp=0.05,
+                            init_chunk=8)   # bounded QDWH workspace
     sync(st)
     print("init done", file=sys.stderr)
     Nt = 6

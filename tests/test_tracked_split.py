@@ -258,3 +258,35 @@ def test_leapfrog_unroll_equivalence():
                                rtol=0, atol=5e-4)
     np.testing.assert_allclose(np.asarray(s1.delta_re),
                                np.asarray(s2.delta_re), atol=1e-6)
+
+
+def test_watchdog_chunk_caps_scale_with_shape():
+    """The fused-program step budget must shrink with per-step cost
+    (∝ dim³·batch): the 48-step cap validated at 24×24/b64 is ~4.2× the
+    safe device time at 32×32/b48 (observed worker kernel-fault)."""
+    from dwavehmc_tpu.parallel.ensemble import _watchdog_chunk_caps
+
+    # validated shape: unchanged semantics (8 cheap/program, 8 with anchor)
+    assert _watchdog_chunk_caps(576, 64, 6) == (8, 8)
+    # 32×32/b48: ~4.2× per-step cost → at most 1 cheap sweep per program
+    mc, af = _watchdog_chunk_caps(1024, 48, 6)
+    assert mc * 6 * (1024 / 576) ** 3 * (48 / 64) <= 54
+    assert (af + 1) * 6 * (1024 / 576) ** 3 * (48 / 64) <= 60
+    # smaller-than-validated shapes never fuse beyond max_fused
+    assert _watchdog_chunk_caps(144, 72, 6) == (8, 8)
+    # large Nt: the anchor leapfrog runs as its own program
+    assert _watchdog_chunk_caps(576, 64, 40)[1] == 0
+
+
+def test_chunked_init_matches_full_init():
+    """init_chunk bounds the per-program QDWH workspace (a (48,4096,4096)
+    init eigh RESOURCE_EXHAUSTs a 16 GiB chip whose steady-state segments
+    fit) and must be bit-identical to the single-program init."""
+    params = make_params(W=0.5, n_imp=0.25, beta=5.0, J=1.0,
+                         dtype=jnp.float32)
+    a = init_ensemble_real(LAT, params, jax.random.PRNGKey(3), 5,
+                           dtype=jnp.float32, n_imp=0.25)
+    b = init_ensemble_real(LAT, params, jax.random.PRNGKey(3), 5,
+                           dtype=jnp.float32, n_imp=0.25, init_chunk=2)
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
