@@ -41,8 +41,13 @@ class MemoryEstimate:
 def estimate_memory(lat: LatticeSpec, n_chains: int,
                     dtype=jnp.float32, with_transport: bool = True,
                     eigh_copies: int = 4) -> MemoryEstimate:
-    """Rough peak-HBM model.  ``eigh_copies``: dense (2N)² complex buffers
-    alive inside XLA's QDWH eigh (input, polar iterate, accumulators)."""
+    """Rough peak-HBM model, calibrated on hardware at 32×32
+    (2026-08-21): batch 40 fits a 16 GiB v5e chip, batch 48
+    RESOURCE_EXHAUSTs inside the tracked segment — the peak holds the
+    CARRIED state and the PROPOSAL state simultaneously (accept
+    double-buffering) plus rotation temporaries, on top of the eigh
+    workspace.  ``eigh_copies``: dense (2N)² complex buffers alive
+    inside XLA's QDWH eigh (input, polar iterate, accumulators)."""
     N = lat.n_sites
     dim = 2 * N
     r = jnp.dtype(dtype).itemsize
@@ -56,7 +61,10 @@ def estimate_memory(lat: LatticeSpec, n_chains: int,
     eigh_work = eigh_copies * dim * dim * c
     transport = (2 * dim * dim * c  # J_mn + JU temp
                  + dim * dim * r)   # |J|²
-    per_chain = state + eigh_work + (transport if with_transport else 0)
+    tracked_work = 3 * dim * dim * r   # rotation matmul temporaries
+    per_chain = (2 * state          # carried + proposal (accept phase)
+                 + eigh_work + tracked_work
+                 + (transport if with_transport else 0))
     return MemoryEstimate(
         state_bytes=state, eigh_work_bytes=eigh_work,
         transport_bytes=transport if with_transport else 0,

@@ -241,6 +241,16 @@ def tpu_demo(out_path, batch, sweeps):
                             init_chunk=8)   # bounded QDWH workspace
     sync(st)
     print("init done", file=sys.stderr)
+    # thermalize first (cold random starts have huge dH — a timed segment
+    # at acc 0.0 is not a perf anchor): Nt=20 exact-anchored sweeps at the
+    # therm heuristic dt, as bench.py does
+    Nt_th = 20
+    dt_th = jnp.full((batch,), calc_optimal_dt(20.0, 0.8, 1.0, Nt_th),
+                     dtype=jnp.float32)
+    st, seg = run_segment_tracked(lat, params, st, 10, Nt_th, dt_th,
+                                  False, None, 0, 6)
+    acc_th = float(np.asarray(seg.accepted).mean())
+    print(f"therm acc={acc_th:.2f}", file=sys.stderr)
     Nt = 6
     dt = jnp.full((batch,), calc_optimal_dt(20.0, 0.8, 1.0, Nt),
                   dtype=jnp.float32)
@@ -256,6 +266,7 @@ def tpu_demo(out_path, batch, sweeps):
     res = {"L": L, "batch": batch, "Nt": Nt, "sweeps": sweeps,
            "traj_per_sec": round(batch * sweeps / wall, 2),
            "acceptance": round(float(acc.mean()), 3),
+           "therm_acceptance": round(acc_th, 2),
            "wall_s": round(wall, 1),
            "hbm_est_gib": round(est.total_bytes / 2**30, 2)}
     with open(out_path, "w") as f:
