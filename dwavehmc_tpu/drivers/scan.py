@@ -435,7 +435,13 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
     # (β ≤ anneal_start_beta) run their own target β throughout, so the
     # ramp is a no-op for them.
     anneal_factor = np.ones(n_run)
-    if n_done0 == 0 and cfg.anneal_stages > 0:
+    needs_ramp = bool(np.any(beta_per_chain > cfg.anneal_start_beta))
+    if n_done0 == 0 and cfg.anneal_stages > 0 and not needs_ramp:
+        # every chain is warm (β ≤ ramp origin): the ramp would be a
+        # 50-sweep no-op in β — skip the phase (and its segment compile)
+        log(f"Annealing skipped: all {n_run} chain(s) have "
+            f"β ≤ {cfg.anneal_start_beta:g} (warm start unnecessary)")
+    if n_done0 == 0 and cfg.anneal_stages > 0 and needs_ramp:
         Nt_a = cfg.Nt_therm_init
         b_origin = np.minimum(beta_per_chain, cfg.anneal_start_beta)
         K = cfg.anneal_stages

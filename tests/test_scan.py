@@ -515,3 +515,25 @@ def test_adapt_dts_nonfinite_dH_takes_max_shrink():
     out2 = adapt_dts(np.ones(1), np.ones(1), np.ones(1),
                      med_dH=np.array([np.nan]))
     assert out2[0] == 1.0
+
+
+def test_anneal_skipped_when_all_chains_warm(tmp_path):
+    """An all-warm grid (every β ≤ anneal_start_beta) must skip the ramp
+    phase entirely — it would be a multi-stage no-op in β (observed: a
+    hot-side T-scan spent ~50 sweeps + a segment compile ramping nothing)."""
+    root = str(tmp_path / "warmscan")
+    cfg = tiny_cfg(root, n_therm=6, n_measure=2, anneal_stages=3,
+                   anneal_sweeps=2, anneal_start_beta=100.0,
+                   meas_probe_sweeps=0)
+    run_scan_vectorized(cfg, [0.5, 2.0], scan_param="beta", replicas=1)
+    with open(os.path.join(root, "scan.log")) as f:
+        logtxt = f.read()
+    assert "Annealing skipped" in logtxt
+    assert "Anneal stage" not in logtxt
+
+    root2 = str(tmp_path / "coldscan")
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, out_dir=root2)
+    run_scan_vectorized(cfg2, [0.5, 500.0], scan_param="beta", replicas=1)
+    with open(os.path.join(root2, "scan.log")) as f:
+        assert "Anneal stage 3/3" in f.read()
