@@ -149,6 +149,13 @@ def _csv_stats(path: str, skip_cols=("Sweep", "Chain", "Accepted")) -> dict:
         n = len(vals)
         out[f"{c}_mean"] = vals.mean() if n else float("nan")
         out[f"{c}_sem"] = vals.std(ddof=1) / np.sqrt(n) if n > 1 else 0.0
+        if c == "DC_Conductivity" and n and not vals.any():
+            # every sample exactly 0: at β ≳ 1500 the f32 degenerate-limit
+            # weight β·f·(1−f) underflows to 0 (the reference's f64 gives
+            # ~1e-300-scale values there — src/Observables.jl:405-424), so
+            # an exact-zero σ_DC is an underflow floor, not a measurement;
+            # flag it so consumers can tell the two apart
+            out["DC_Conductivity_underflow"] = 1
     return out
 
 

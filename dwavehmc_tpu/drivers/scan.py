@@ -791,9 +791,16 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
         bad_pts, biased_pts = [], []
         for g in range(G):
             sel = (point_of_chain == g) & real
+            # a chain whose EVERY measurement dH was non-finite has a NaN
+            # nanmedian — that's an unconditionally broken chain, not a
+            # missing statistic: write null (valid JSON) and flag the point
+            med_sel = meas_med_dH[sel]
+            med_finite = med_sel[np.isfinite(med_sel)]
+            all_nonfinite_chain = med_finite.size < med_sel.size
+            med_min = (float(med_finite.min()) if med_finite.size else None)
             m = {"mean_acc": float(meas_acc[sel].mean()),
                  "min_acc": float(meas_acc[sel].min()),
-                 "med_dH": float(meas_med_dH[sel].min()),
+                 "med_dH": med_min,
                  "dt_factor_min": float(
                      (np.asarray(dt_m)[sel] / dt0_m[sel]).min()),
                  "dH_nonfinite": int(meas_nonfinite[sel].sum()),
@@ -802,7 +809,8 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                 f"{scan_param}_{values[g]:.6g}", {})["measurement"] = m
             if m["min_acc"] < 0.60:
                 bad_pts.append(f"{scan_param}_{values[g]:.6g}")
-            if m["med_dH"] < -NEG_DH_GUARD:
+            if all_nonfinite_chain or (med_min is not None
+                                       and med_min < -NEG_DH_GUARD):
                 biased_pts.append(f"{scan_param}_{values[g]:.6g}")
         write_json(hp, health_all)
         if bad_pts:

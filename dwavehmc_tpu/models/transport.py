@@ -165,6 +165,36 @@ def optical_conductivity(omega_grid, evals, f, J2, eta, n_sites, chunk=16,
     return (jnp.pi / n_sites) * sig
 
 
+def f_sum_check(omega_grid, sigma, evals, f, J2, n_sites):
+    """Regular-part f-sum rule: ∫_{−∞}^{∞} Re σ_reg(ω) dω = π·Λ_xx^offdiag.
+
+    The cheapest independent check of the Lorentzian normalization and
+    ω-grid conventions (SURVEY §7 step 8; the reference's analogue is the
+    dual-formula stiffness verification, scripts/debug_transport.jl:50-95):
+    integrating the measured σ(ω) grid (σ is even in ω under PH symmetry,
+    so 2·∫_0^∞) must recover π times the non-degenerate part of the
+    paramagnetic term — the same |J_nm|² matrix elements contracted with
+    (f_n−f_m)/ΔE instead of the broadened (f_n−f_m)/ω·L(ω−ΔE).  Together
+    with the Drude weight π·ρ_s this completes the full sum π·⟨−Kx⟩.
+
+    Exact only in the η → 0, ω_max → ∞, Δω → 0 limit: finite η leaks
+    Lorentzian mass below the grid start (ω < η) and beyond ω_max, and
+    bends 1/ω away from 1/ΔE for transitions within ~η of zero — callers
+    pick grids where those are percent-level (see tests/test_transport.py).
+
+    Returns ``(s_grid, s_pred, rel_err)`` — trapezoid integral doubled,
+    π·Λ_xx^offdiag, and their relative difference.
+    """
+    s_grid = 2.0 * jnp.trapezoid(sigma, omega_grid)
+    dE = evals[None, :] - evals[:, None]
+    df = f[:, None] - f[None, :]
+    small = jnp.abs(dE) < DEGENERATE_EPS
+    ratio = jnp.where(small, 0.0, df / jnp.where(small, 1.0, dE))
+    s_pred = jnp.pi * jnp.sum(ratio * J2) / n_sites
+    rel = jnp.abs(s_grid - s_pred) / jnp.maximum(jnp.abs(s_pred), 1e-30)
+    return s_grid, s_pred, rel
+
+
 def density_of_states(lat: LatticeSpec, dos_grid, evals, evecs, eta):
     """N(ω) = (1/N) Σ_n w_n·L(ω−E_n), w_n = Σ_i |u_{i,n}|²
     (src/Observables.jl:440-455,517)."""

@@ -319,6 +319,19 @@ def _watchdog_chunk_caps(n_sites: int, batch: int, Nt: int,
     rel = max(1.0, (n_sites / 576.0) ** 3 * (batch / 64.0))
     step_cap48 = max(Nt, int(48 / rel))
     step_cap54 = max(Nt + 1, int(54 / rel))
+    if Nt * rel > 54:
+        # even one sweep per program exceeds the validated step budget
+        # (e.g. Nt=20 at 32×32 ≈ 70 validated-step-equivalents): the
+        # floor below can't chunk finer than a sweep, so the ~90 s device
+        # watchdog is at risk — surface it rather than fault silently
+        import warnings
+
+        warnings.warn(
+            f"single-sweep program is {Nt * rel:.0f} validated-step-"
+            f"equivalents (> 54 budget) at n_sites={n_sites}, "
+            f"batch={batch}, Nt={Nt}; the remote execution watchdog "
+            "(~90 s) may kill it — reduce Nt, batch, or lattice size",
+            RuntimeWarning, stacklevel=3)
     return (max(1, min(max_fused, step_cap48 // max(1, Nt))),
             max(0, min(max_fused, step_cap54 // max(1, Nt) - 1)))
 

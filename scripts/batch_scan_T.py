@@ -26,6 +26,14 @@ from dwavehmc_tpu.utils.config import RunConfig, add_cli_args, from_namespace
 
 
 def main():
+    from dwavehmc_tpu.utils.quickcheck import run_quick_suite
+    run_quick_suite()
+
+    # env-gated multi-host init (DWAVEHMC_DISTRIBUTED=1 / coordinator env
+    # vars) — must run before any device use; no-op single-process
+    from dwavehmc_tpu.parallel.mesh import maybe_setup_distributed
+    maybe_setup_distributed()
+
     defaults = RunConfig(
         Lx=24, Ly=24, W=1.0, n_imp=0.05, J=0.8,
         n_therm=20, n_measure=100, Nt_therm_init=20, Nt_measure=6,

@@ -275,6 +275,9 @@ def tpu_demo(out_path, batch, sweeps):
 
 
 def main():
+    from dwavehmc_tpu.utils.quickcheck import run_quick_suite
+    run_quick_suite()
+
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=("mesh", "mesh_exec", "tpu"),
                    default="mesh")

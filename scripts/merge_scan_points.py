@@ -66,8 +66,24 @@ def main():
     points = prov.setdefault("points", {})
     for d in donor_pts:
         src, dst = os.path.join(ns.donor, d), os.path.join(ns.target, d)
+        # stage the donor copy next to the target first so a mid-copy
+        # failure can never destroy the target point dir, then swap
+        tmp = dst + ".merge_tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        shutil.copytree(src, tmp)
+        # files present only in the target (e.g. processed_*.csv spectra
+        # outputs) would vanish in the swap; they describe the REPLACED
+        # data, so carrying them over would silently mislabel old results
+        # — warn that they must be regenerated instead
+        donor_files = set(os.listdir(src))
+        lost = sorted(f for f in os.listdir(dst) if f not in donor_files)
+        if lost:
+            print(f"WARNING: {d}: target-only files dropped by merge "
+                  f"(regenerate from the new bins): {', '.join(lost)}",
+                  file=sys.stderr)
         shutil.rmtree(dst)
-        shutil.copytree(src, dst)
+        os.rename(tmp, dst)
         points[d] = {
             "source": ns.donor,
             "note": ns.note,

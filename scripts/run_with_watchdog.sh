@@ -23,19 +23,22 @@ WATCH=$1; STALE=$2; MAX_RESTARTS=$3; shift 3
 attempt=0
 while :; do
     attempt=$((attempt + 1))
-    "$@" &
+    # setsid: run the command in its own process group so the kill below
+    # reaps any subprocesses too — a surviving wedged child would violate
+    # the one-process-per-TPU constraint when the next attempt launches
+    setsid "$@" &
     PID=$!
-    echo "[watchdog] attempt $attempt: pid $PID" >&2
+    echo "[watchdog] attempt $attempt: pid $PID (pgid $PID)" >&2
     while kill -0 "$PID" 2>/dev/null; do
         sleep 60
         if [ -f "$WATCH" ]; then
             age=$(( $(date +%s) - $(stat -c %Y "$WATCH") ))
             if [ "$age" -gt "$STALE" ]; then
                 echo "[watchdog] $WATCH quiet ${age}s > ${STALE}s — " \
-                     "killing pid $PID for resume" >&2
-                kill "$PID" 2>/dev/null
+                     "killing pgid $PID for resume" >&2
+                kill -- "-$PID" 2>/dev/null || kill "$PID" 2>/dev/null
                 sleep 5
-                kill -9 "$PID" 2>/dev/null
+                kill -9 -- "-$PID" 2>/dev/null || kill -9 "$PID" 2>/dev/null
                 break
             fi
         fi

@@ -32,6 +32,9 @@ from dwavehmc_tpu.utils.config import RunConfig
 
 
 def main():
+    from dwavehmc_tpu.utils.quickcheck import run_quick_suite
+    run_quick_suite()
+
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     root = os.path.join(here, "examples", "beta_extreme_12x12")
     cfg = RunConfig(
@@ -95,22 +98,28 @@ def main():
     report["protocol"] = (
         "beta-ladder warm start (anneal_stages=10 x 5 sweeps from "
         "beta=100) + host-f64 readout; saturation criterion: beta=1e4 vs "
-        "1e5 within 5 combined SEM OR within 0.3% absolute — the "
+        "1e5 within 5 combined SEM, OR within 0.25% relative WHEN the "
+        "combined SEM itself resolves below 0.1% of the value — the "
         "SEM-only criterion anti-selects better statistics (a run with "
         "4x smaller error bars resolves the ~0.2% residual "
         "finite-temperature drift between T=1e-4 and 1e-5 — the d-wave "
         "nodal correction scale — and would 'fail' where a noisier run "
-        "passes)")
+        "passes); the SEM gate keeps the relative branch from excusing a "
+        "genuinely unsaturated gap in a noisy run")
     # T→0 saturation: both observables must agree across the top decade,
-    # in SEM units or to an absolute tolerance at the physics scale
-    def _sat(gap_over_sem, a, b):
+    # in SEM units — or, when the statistics over-resolve the known
+    # ~0.2% finite-T drift (combined SEM < 0.1% of the value), to a
+    # 0.25% relative tolerance at the physics scale
+    def _sat(gap_over_sem, a, b, sem):
+        scale = max(abs(a), abs(b), 1e-12)
         return (gap_over_sem <= 5.0
-                or abs(a - b) <= 3e-3 * max(abs(a), abs(b), 1e-12))
+                or (sem <= 1e-3 * scale and abs(a - b) <= 2.5e-3 * scale))
 
     saturated = (
         _sat(report["delta_global_gap_over_sem"],
-             p4["delta_global"], p5["delta_global"])
-        and _sat(report["rho_s_gap_over_sem"], p4["rho_s"], p5["rho_s"]))
+             p4["delta_global"], p5["delta_global"], sem)
+        and _sat(report["rho_s_gap_over_sem"], p4["rho_s"], p5["rho_s"],
+                 sem_r))
     report["rho_s_gap_abs"] = round(abs(p4["rho_s"] - p5["rho_s"]), 6)
     report["delta_global_gap_abs"] = round(
         abs(p4["delta_global"] - p5["delta_global"]), 6)

@@ -39,6 +39,9 @@ def log(msg):
 
 
 def main():
+    from dwavehmc_tpu.utils.quickcheck import run_quick_suite
+    run_quick_suite()
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--L", type=int, default=16)
     p.add_argument("--batch", type=int, default=8)

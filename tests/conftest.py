@@ -28,6 +28,22 @@ jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
+#: the quick tier (`pytest -m quick`, ~75 s on this container's CPU):
+#: core physics invariants — lattice/BdG/forces/spectral/HMC/observables
+#: small shapes plus the real↔complex parity and tracked-eigh pins.
+#: Artifact-committing scripts run this tier first (utils/quickcheck.py)
+#: so a red suite can't be snapshotted silently (VERDICT r4 item 8).
+_QUICK_MODULES = {
+    "test_lattice", "test_bdg", "test_forces", "test_spectral",
+    "test_hmc", "test_observables", "test_real_path", "test_tracked_eigh",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def rng_key():

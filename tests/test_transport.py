@@ -198,3 +198,46 @@ def test_clean_normal_state_matches_analytic_drude_weight():
 
     rho_sc = stiffness(uniform_dwave_delta(lat, 0.35, dtype=jnp.float64))
     assert rho_sc > rho_normal + 0.05, (rho_sc, rho_normal)
+
+
+def test_f_sum_rule():
+    """Regular-part f-sum: 2·∫_η^{ω_max} σ(ω) dω ≈ π·Λ_xx^offdiag
+    (SURVEY §7 step 8).  Grid chosen so the finite-η/ω_max corrections are
+    percent-level: ω_max beyond the full transition range (ΔE ≲ 11 at
+    these couplings), η small, Δω = 0.2η."""
+    from dwavehmc_tpu.models.transport import f_sum_check
+    from dwavehmc_tpu.ops.spectral import fermi_factors
+
+    lat = LatticeSpec(6, 6)
+    # measured convergence (this exact state): rel err 0.166 → 0.060 →
+    # 0.022 → 0.007 → 0.001 at η = .05/.02/.01/.005/.002 — the residual is
+    # pure Lorentzian-broadening leakage, vanishing as η → 0
+    spec = SpectralSpec(eta=0.005, domega=0.001, omega_max=14.0)
+    params = make_params(t=1.0, tp=-0.35, mu=-1.08, W=1.0, n_imp=0.25,
+                         beta=8.0, J=0.8, mass=1.0, dtype=jnp.float64)
+    state = init_chain_state(lat, params, jax.random.PRNGKey(3),
+                             dtype=jnp.float64, n_imp=0.25)
+
+    from dwavehmc_tpu.models.transport import (
+        optical_conductivity,
+    )
+
+    f = fermi_factors(state.evals, params.beta)
+    J_mn = current_matrix_elements(lat, state.evecs, params.t, params.tp)
+    J2 = jnp.abs(J_mn) ** 2
+    omega = jnp.asarray(spec.omega_grid(), jnp.float64)
+    sigma = optical_conductivity(omega, state.evals, f, J2, spec.eta,
+                                 lat.n_sites)
+    s_grid, s_pred, rel = f_sum_check(omega, sigma, state.evals, f, J2,
+                                      lat.n_sites)
+    assert float(s_pred) > 0.01          # non-trivial spectral weight
+    assert float(rel) < 0.02, (float(s_grid), float(s_pred), float(rel))
+
+    # loosening the broadening must loosen the agreement (η-controlled)
+    spec2 = SpectralSpec(eta=0.02, domega=0.004, omega_max=14.0)
+    omega2 = jnp.asarray(spec2.omega_grid(), jnp.float64)
+    sigma2 = optical_conductivity(omega2, state.evals, f, J2, spec2.eta,
+                                  lat.n_sites)
+    _, _, rel2 = f_sum_check(omega2, sigma2, state.evals, f, J2,
+                             lat.n_sites)
+    assert float(rel2) > float(rel)
