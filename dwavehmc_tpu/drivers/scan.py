@@ -326,9 +326,11 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                 s, res, host_cache["c"] = run_segment_hostacc(
                     lt, p, s, n, Nt, dt, measure=measure, params_axis=pa,
                     dt_axis=da, tracked_iters=cfg.tracked_iters,
-                    ns_steps=2, rot_dtype=cfg.rot_jax_dtype(),
+                    ns_steps=cfg.resolved_ns_steps(), rot_dtype=cfg.rot_jax_dtype(),
                     exact_solver=cfg.exact_solver,
-                    pot_cache=host_cache["c"])
+                    pot_cache=host_cache["c"],
+                    rot_scheme=cfg.rot_scheme,
+                    use_pallas_s=cfg.use_pallas_rot())
                 return s, res
         elif cfg.eigh_mode == "tracked":
             from ..parallel.ensemble import run_segment_tracked
@@ -349,11 +351,14 @@ def run_scan_vectorized(cfg: RunConfig, values, *, scan_param: str = "T",
                                            if anchor_every is not None
                                            else cfg.anchor_every,
                                            cfg.refine_iters,
-                                           cfg.polish_iters, 2,
+                                           cfg.polish_iters,
+                                           cfg.resolved_ns_steps(),
                                            cfg.rot_jax_dtype(), 8,
                                            cfg.exact_solver,
                                            cfg.polish_precision,
-                                           cfg.polish_correction)
+                                           cfg.polish_correction,
+                                           rot_scheme=cfg.rot_scheme,
+                                           use_pallas_s=cfg.use_pallas_rot())
         else:
             def seg_fn(lt, p, s, n, Nt, dt, measure, pa, da,
                        anchor_every=None):

@@ -106,6 +106,111 @@ def weighted_lorentzian_sum(omega, de, w2, eta, *, interpret=False):
     return out.reshape(-1)[:n_w]
 
 
+#: rotation-construction kernel tile (f32-legal: sublane mult of 8,
+#: lane 128)
+_ROT_TM = 128
+_ROT_TN = 128
+
+
+def _rot_s_kernel(tr_ref, ti_ref, drow_ref, dcol_ref, smax_ref,
+                  sr_ref, si_ref):
+    """One (TM, TN) tile of the damped Jacobi generator S:
+
+        gap   = d[col] − d[row]
+        θ     = min(½·atan2(2|T|, |gap|), S_MAX)
+        S     = (T/|T|)·θ·sign(gap)   off-diagonal, 0 on the diagonal
+
+    — the ~8 elementwise passes of ops/tracked_eigh.rotation_matrix_parts
+    fused into one VPU pass (one HBM read of T, one write of S).
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tr = tr_ref[:]
+    ti = ti_ref[:]
+    d_col = drow_ref[0:1, :]                         # (1, TN): d[jTN+…]
+    d_row = jnp.transpose(dcol_ref[0:1, :])          # (TM, 1): d[iTM+…]
+    gap = d_col - d_row                              # d[None,:] − d[:,None]
+
+    mag = jnp.sqrt(tr * tr + ti * ti)
+    theta = 0.5 * jnp.arctan2(2.0 * mag, jnp.abs(gap))
+    theta = jnp.minimum(theta, smax_ref[0])
+    inv = 1.0 / jnp.maximum(mag, 1e-30)
+    ok = mag > 1e-30
+    pr = jnp.where(ok, tr * inv, 0.0)
+    pi_ = jnp.where(ok, ti * inv, 0.0)
+
+    rows = (jax.lax.broadcasted_iota(jnp.int32, tr.shape, 0)
+            + i * tr.shape[0])
+    cols = (jax.lax.broadcasted_iota(jnp.int32, tr.shape, 1)
+            + j * tr.shape[1])
+    coef = (theta * jnp.sign(gap + 1e-30)
+            * (rows != cols).astype(tr.dtype))
+    sr_ref[:] = pr * coef
+    si_ref[:] = pi_ * coef
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rotation_s_parts(tr, ti, d, smax, *, interpret=False):
+    """Fused rotation-generator construction (see _rot_s_kernel).
+
+    tr/ti: (n, n) f32 projected matrix parts, d: (n,) diagonal.
+    Returns (sr, si).  n is padded to the 128-tile internally; padded
+    entries never reach the output slice.
+    """
+    dtype = jnp.float32
+    if not interpret and not on_tpu():
+        interpret = True          # CPU tests/oracles run interpreted
+    n = d.shape[0]
+    tr = tr.astype(dtype)
+    ti = ti.astype(dtype)
+    pad = (-n) % _ROT_TM
+    npad = n + pad
+    if pad:
+        tr = jnp.pad(tr, ((0, pad), (0, pad)))
+        ti = jnp.pad(ti, ((0, pad), (0, pad)))
+    # d replicated to a (8, npad) strip: a (TM, 1)-shaped block is not a
+    # legal f32 tile, so both orientations read from sublane row 0 of a
+    # lane-major strip (the column orientation transposes in-kernel)
+    d_strip = jnp.broadcast_to(
+        jnp.pad(d.astype(dtype), (0, pad))[None, :], (8, npad))
+
+    grid = (npad // _ROT_TM, npad // _ROT_TN)
+    sr, si = pl.pallas_call(
+        _rot_s_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_ROT_TM, _ROT_TN), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROT_TM, _ROT_TN), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _ROT_TN), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _ROT_TM), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_ROT_TM, _ROT_TN), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROT_TM, _ROT_TN), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((npad, npad), dtype),
+            jax.ShapeDtypeStruct((npad, npad), dtype),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=14 * npad * npad,
+            bytes_accessed=4 * 4 * npad * npad,
+            transcendentals=npad * npad,
+        ),
+    )(tr, ti, d_strip, d_strip, jnp.asarray([smax], dtype))
+    if pad:
+        sr, si = sr[:n, :n], si[:n, :n]
+    return sr, si
+
+
 def on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"

@@ -141,7 +141,7 @@ def _matmul(a, b, precision=None):
 
 def sign_embedding(M, n_lift: int | None = None, n_ns: int = 3,
                    lift_precision=jax.lax.Precision.HIGHEST,
-                   floor: float = 1e-5):
+                   floor: float = 1e-5, return_resid: bool = False):
     """Matrix sign function of a symmetric M with spectrum bounded away
     from 0, via scaled polynomial iteration (matmuls only).
 
@@ -167,8 +167,23 @@ def sign_embedding(M, n_lift: int | None = None, n_ns: int = 3,
         X2 = _matmul(X, X, lift_precision)
         X = a * X + _matmul(X2, b * X + c * _matmul(X2, X, lift_precision),
                             lift_precision)
+    X2 = None
     for _ in range(n_ns):
-        X = 1.5 * X - 0.5 * _matmul(_matmul(X, X), X)
+        X2 = _matmul(X, X)
+        X = 1.5 * X - 0.5 * _matmul(X2, X)
+    if return_resid and X2 is None:          # n_ns == 0
+        X2 = _matmul(X, X)
+    if return_resid:
+        # ‖X²−I‖max of the LAST pre-update iterate — free (X2 already
+        # computed).  A converged sign has X² = I to the f32 floor; an
+        # eigenvalue below the schedule's spectral floor maps to
+        # s ∈ (−1, 1) and leaves |s²−1| = O(1), so this residual detects
+        # the silent-divergence mode the floor guard exists for.  The
+        # final NS update shrinks the true residual ~quadratically below
+        # this, so thresholding the pre-update value is conservative.
+        resid = jnp.max(jnp.abs(
+            X2 - jnp.eye(X.shape[-1], dtype=X.dtype)), axis=(-2, -1))
+        return X, resid
     return X
 
 
@@ -235,6 +250,73 @@ def positive_basis(M, sgn, orth: str = "chol"):
     G = jnp.asarray(_sketch(dim, str(M.dtype)))
     Y = 0.5 * (_matmul(sgn, G) + G)
     return cholqr2(Y) if orth == "chol" else orth_ns(Y)
+
+
+#: guard thresholds for the default-safe PH path.  RESID: a converged
+#: sign matrix has ‖X²−I‖max at the f32 floor (measured ~1e-5 at dim
+#: 2304); any eigenvalue left unconverged by a spectrum below the
+#: schedule floor gives O(1).  RATIO: the smallest Rayleigh–Ritz
+#: eigenvalue over the ‖M‖∞ bound must clear the schedule floor with a
+#: 2× margin — a true eigenvalue just below 1e-5·‖M‖ partially converges
+#: and still surfaces as a small Ritz value.
+PH_GUARD_RESID = 0.05
+PH_GUARD_RATIO = 2e-5
+
+
+def diagonalize_embedding_ph_guarded(M, *, floor: float = 1e-5,
+                                     lift_precision=jax.lax.Precision.HIGHEST,
+                                     orth: str = "chol"):
+    """Default-safe PH-split diagonalization with a runtime floor guard.
+
+    Computes the PH-split solution WITH convergence diagnostics, then
+    falls back to the full QDWH embedding eigh via a single batch-level
+    ``lax.cond`` whenever (a) the sign iteration failed to converge
+    (‖sgn²−I‖max > PH_GUARD_RESID — the signature of a spectrum below the
+    minimax schedule's floor, the PH solver's silent-divergence mode) or
+    (b) the smallest Ritz value sits under ``PH_GUARD_RATIO``·‖M‖∞.
+
+    MUST be called OUTSIDE any vmap: under vmap ``lax.cond`` lowers to
+    ``select`` and both solvers would run for every element, erasing the
+    PH speedup.  ``M`` may carry leading batch dims — the guard is a
+    single scalar over the whole batch (one bad chain re-solves the
+    batch exactly; correctness first, and the bad case is rare).
+
+    Returns ``(evals, X, Y, used_fallback)``.
+    """
+    from ..models.bdg_real import diagonalize_embedding
+
+    dim = M.shape[-1]
+    half = dim // 2
+    Mg = jnp.where(jnp.isfinite(M), M, jnp.zeros_like(M))
+    sgn, resid = sign_embedding(Mg, lift_precision=lift_precision,
+                                floor=floor, return_resid=True)
+    Q = positive_basis(Mg, sgn, orth=orth)
+    MQ = _matmul(Mg, Q)
+    T = _matmul(jnp.swapaxes(Q, -1, -2), MQ)
+    T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
+    T = jnp.where(jnp.isfinite(T), T, jnp.zeros_like(T))
+    wt, Vt = jnp.linalg.eigh(T)
+    Vp = _matmul(Q, Vt)
+
+    lam = jnp.max(jnp.sum(jnp.abs(Mg), axis=-1), axis=-1)
+    min_ratio = jnp.min(jnp.abs(wt), axis=-1) / jnp.maximum(lam, 1e-30)
+    ok = (jnp.all(resid < PH_GUARD_RESID)
+          & jnp.all(min_ratio > PH_GUARD_RATIO)
+          & jnp.all(jnp.isfinite(wt)))
+
+    def from_ph(_):
+        wp = wt[..., ::2]
+        Vp1 = Vp[..., :, ::2]
+        Vn1 = ph_reflect(Vp1)[..., :, ::-1]
+        evals = jnp.concatenate([-wp[..., ::-1], wp], axis=-1)
+        V = jnp.concatenate([Vn1, Vp1], axis=-1)
+        return evals, V[..., :half, :], V[..., half:, :]
+
+    def from_qdwh(_):
+        return diagonalize_embedding(Mg)
+
+    evals, X, Y = jax.lax.cond(ok, from_ph, from_qdwh, None)
+    return evals, X, Y, ~ok
 
 
 def diagonalize_embedding_ph(M, n_lift: int | None = None, n_ns: int = 3,

@@ -118,8 +118,36 @@ def _project_T(hr, hi, ur, ui, precision=None):
     return tr, ti, d, jnp.max(off)
 
 
+def rotation_matrix_parts(tr, ti, d, smax=S_MAX, use_pallas=False,
+                          interpret=False):
+    """The damped Jacobi rotation generator S (anti-Hermitian, (sr, si))
+    from the projected matrix T = U†HU and its diagonal d.
+
+    ``use_pallas``: route the ~8 elementwise (n, n) passes (gap, |T|,
+    angle, phase, sign, mask, two products) through one fused Pallas VPU
+    kernel — one HBM read of (tr, ti) and one write of (sr, si) instead
+    of an intermediate per pass (ops/pallas_kernels.rotation_s_parts).
+    The σ-cap that follows needs all of S, so it stays outside.
+    """
+    if use_pallas:
+        from .pallas_kernels import rotation_s_parts
+
+        return rotation_s_parts(tr, ti, d, smax, interpret=interpret)
+    n = d.shape[0]
+    gap = d[None, :] - d[:, None]
+    mag = jnp.sqrt(tr * tr + ti * ti)
+    theta = 0.5 * jnp.arctan2(2.0 * mag, jnp.abs(gap))   # [0, π/4]
+    theta = jnp.minimum(theta, smax)
+
+    phase_r = jnp.where(mag > 1e-30, tr / jnp.maximum(mag, 1e-30), 0.0)
+    phase_i = jnp.where(mag > 1e-30, ti / jnp.maximum(mag, 1e-30), 0.0)
+    sgn = jnp.sign(gap + 1e-30)
+    mask = 1.0 - jnp.eye(n, dtype=tr.dtype)
+    return phase_r * theta * sgn * mask, phase_i * theta * sgn * mask
+
+
 def tracked_step(hr, hi, ur, ui, parity=0, precision=None, ns_steps=2,
-                 rot_dtype=None):
+                 rot_dtype=None, rot_scheme="ns", use_pallas_s=False):
     """One refinement iteration: rotate toward the eigenbasis.
 
     Rotation angles come from the exact 2×2 Jacobi formula
@@ -166,18 +194,7 @@ def tracked_step(hr, hi, ur, ui, parity=0, precision=None, ns_steps=2,
         tr, ti = tr.astype(jnp.float32), ti.astype(jnp.float32)
         d = d.astype(jnp.float32)
 
-    n = d.shape[0]
-    gap = d[None, :] - d[:, None]
-    mag = jnp.sqrt(tr * tr + ti * ti)
-    theta = 0.5 * jnp.arctan2(2.0 * mag, jnp.abs(gap))   # [0, π/4]
-    theta = jnp.minimum(theta, S_MAX)
-
-    phase_r = jnp.where(mag > 1e-30, tr / jnp.maximum(mag, 1e-30), 0.0)
-    phase_i = jnp.where(mag > 1e-30, ti / jnp.maximum(mag, 1e-30), 0.0)
-    sgn = jnp.sign(gap + 1e-30)
-    mask = 1.0 - jnp.eye(n, dtype=tr.dtype)
-    sr = phase_r * theta * sgn * mask
-    si = phase_i * theta * sgn * mask
+    sr, si = rotation_matrix_parts(tr, ti, d, S_MAX, use_pallas=use_pallas_s)
 
     # stability cap: σ(S) ≤ S_SIGMA_CAP keeps Newton–Schulz in its basin
     sigma = _spectral_norm_est(sr, si)
@@ -187,8 +204,21 @@ def tracked_step(hr, hi, ur, ui, parity=0, precision=None, ns_steps=2,
 
     if rot_dtype is not None:
         sr, si = sr.astype(rot_dtype), si.astype(rot_dtype)
-    vr, vi = cmm(ur, ui, sr, si, precision)          # U S
-    ur, ui = ur + vr, ui + vi
+    if rot_scheme == "exp2":
+        # second-order exponential: U ← U(I + S + S²/2).  With S
+        # anti-Hermitian the Gram error is (I+S+S²/2)†(I+S+S²/2) − I =
+        # S⁴/4 — two orders better than U(I+S)'s −S² — so ONE
+        # Newton–Schulz step reaches ~σ⁸/16, strictly tighter than the
+        # "ns" scheme's 2-step ~σ⁸ at 18 vs 21 fast-path matmuls per
+        # iteration (project 6 + S² 3 + U·V 3 + NS 6).
+        v2r, v2i = cmm(sr, si, sr, si, precision)
+        vr = sr + 0.5 * v2r
+        vi = si + 0.5 * v2i
+        wr, wi = cmm(ur, ui, vr, vi, precision)
+        ur, ui = ur + wr, ui + wi
+    else:
+        vr, vi = cmm(ur, ui, sr, si, precision)      # U S
+        ur, ui = ur + vr, ui + vi
     for _ in range(ns_steps):
         ur, ui = _newton_schulz(ur, ui, precision)
     return ur, ui
@@ -235,7 +265,9 @@ def full_eigh_from_parts(hr, hi):
 def tracked_eigh_nofallback(hr, hi, ur0, ui0, *, n_iter: int = 6,
                             precision=None, eval_precision=None,
                             ns_steps: int = 2, rot_dtype=None,
-                            eval_correction: bool = False):
+                            eval_correction: bool = False,
+                            rot_scheme: str = "ns",
+                            use_pallas_s: bool = False):
     """Refinement only — no exact-eigh fallback.  For use under vmap, where
     ``lax.cond`` degrades to select (both branches would execute for every
     batch element).  Returns (evals ascending, Ur, Ui, offdiag residual);
@@ -265,7 +297,9 @@ def tracked_eigh_nofallback(hr, hi, ur0, ui0, *, n_iter: int = 6,
 
     def body(_k, uv):
         return tracked_step(hr, hi, *uv, precision=precision,
-                            ns_steps=ns_steps, rot_dtype=rot_dtype)
+                            ns_steps=ns_steps, rot_dtype=rot_dtype,
+                            rot_scheme=rot_scheme,
+                            use_pallas_s=use_pallas_s)
 
     cdt = ur0.dtype
     if rot_dtype is not None:

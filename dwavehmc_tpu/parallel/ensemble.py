@@ -137,19 +137,50 @@ def init_ensemble_real(lat: LatticeSpec, params: ModelParams, key,
     from ..sampler.hmc_real import init_chain_state_real
 
     keys = jax.random.split(key, n_chains)
+    # "ph" inits through the floor-guarded solver: the cold random-Δ
+    # spectrum is exactly the regime where near-zero levels (no d-wave
+    # gap yet) can sit under the minimax schedule's floor, and the
+    # guard's lax.cond must run OUTSIDE the per-chain vmap — so the
+    # states are built without eigenpairs and the batch is diagonalized
+    # afterwards in one guarded call per chunk
+    guarded_ph = exact_solver == "ph"
     init = functools.partial(init_chain_state_real, lat, params,
                              dtype=dtype, n_imp=n_imp,
-                             exact_solver=exact_solver)
+                             exact_solver=exact_solver,
+                             diagonalize=not guarded_ph)
     if init_chunk is None or init_chunk >= n_chains:
         states = jax.vmap(init)(keys)
+        if guarded_ph:
+            states = _fill_eigs_ph_guarded(lat, params, states)
     else:
-        parts = [jax.vmap(init)(keys[i:i + init_chunk])
-                 for i in range(0, n_chains, init_chunk)]
+        parts = []
+        for i in range(0, n_chains, init_chunk):
+            part = jax.vmap(init)(keys[i:i + init_chunk])
+            if guarded_ph:
+                part = _fill_eigs_ph_guarded(lat, params, part)
+            parts.append(part)
         states = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
                               *parts)
     if mesh is not None:
         states = shard_ensemble(states, mesh)
     return states
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fill_eigs_ph_guarded(lat, params, states):
+    """Batched floor-guarded PH diagonalization of an ensemble's current
+    (Δ, disorder) — fills the evals/X/Y leaves (see init_ensemble_real)."""
+    from ..models.bdg_real import assemble_embedding, static_embedding
+    from ..ops.ph_eigh import diagonalize_embedding_ph_guarded
+
+    def asm(p, s):
+        Ms = static_embedding(lat, p.t, p.tp, p.mu, s.disorder)
+        return assemble_embedding(lat, Ms, s.delta_re, s.delta_im)
+
+    p_ax = None if jnp.ndim(params.beta) == 0 else 0
+    M = jax.vmap(asm, in_axes=(p_ax, 0))(params, states)
+    ev, X, Y, _fb = diagonalize_embedding_ph_guarded(M)
+    return states._replace(evals=ev, X=X, Y=Y)
 
 
 def run_segment_real(lat: LatticeSpec, params: ModelParams, states,
@@ -198,19 +229,22 @@ def run_segment_real_jit(lat, params, states, n_sweeps, Nt, dt,
 # overhead is ~10 ms/call — noise against a multi-hundred-ms sweep.
 
 @functools.partial(jax.jit,
-                   static_argnums=(0, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
+                   static_argnums=(0, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                                   15, 16))
 def _tracked_leapfrog_jit(lat, params, states, Nt, dt, tracked_iters,
                           params_axis=None, dt_axis=None, refine_iters=0,
                           polish_iters=0, ns_steps=2, rot_dtype=None,
                           polish_precision="highest",
-                          polish_correction=False, unroll=1):
+                          polish_correction=False, unroll=1,
+                          rot_scheme="ns", use_pallas_s=False):
     from ..sampler.hmc_real import tracked_leapfrog
 
     fn = lambda p, s, d: tracked_leapfrog(lat, p, s, Nt, d, tracked_iters,  # noqa: E731
                                           refine_iters, polish_iters,
                                           ns_steps, rot_dtype,
                                           polish_precision,
-                                          polish_correction, unroll)
+                                          polish_correction, unroll,
+                                          rot_scheme, use_pallas_s)
     return jax.vmap(fn, in_axes=(params_axis, 0, dt_axis))(
         params, states, jnp.asarray(dt))
 
@@ -222,20 +256,44 @@ def _tracked_accept_jit(lat, params, states, proposal, measure=True,
     from ..models.observables_real import measure_observables_real
     from ..sampler.hmc_real import tracked_accept, tracked_accept_cheap
 
+    eig_new = None
+    if not cheap and exact_solver == "ph":
+        # floor-guarded PH anchor (default-safe): the guard's lax.cond
+        # fallback to QDWH must sit OUTSIDE the per-chain vmap (a vmapped
+        # cond lowers to select and would run BOTH solvers every sweep),
+        # so the batch's eigenpairs are computed here and threaded into
+        # tracked_accept via eig_new
+        from ..models.bdg_real import assemble_embedding, static_embedding
+        from ..ops.ph_eigh import diagonalize_embedding_ph_guarded
+        from ..sampler.hmc_real import _finite_or_zero
+
+        def asm(p, s, prop):
+            Ms = static_embedding(lat, p.t, p.tp, p.mu, s.disorder)
+            return assemble_embedding(lat, Ms, _finite_or_zero(prop[0]),
+                                      _finite_or_zero(prop[1]))
+
+        M = jax.vmap(asm, in_axes=(params_axis, 0, 0))(
+            params, states, proposal)
+        ev, X, Y, _fb = diagonalize_embedding_ph_guarded(M)
+        eig_new = (ev, X, Y)
+
     if cheap:
         fn = lambda p, s, prop: tracked_accept_cheap(lat, p, s, prop)  # noqa: E731
         states, info = jax.vmap(fn, in_axes=(params_axis, 0, 0))(
             params, states, proposal)
     elif dH_host is not None:
-        fn = lambda p, s, prop, d, f: tracked_accept(  # noqa: E731
-            lat, p, s, prop, exact_solver, d, f)
-        states, info = jax.vmap(fn, in_axes=(params_axis, 0, 0, 0, 0))(
-            params, states, proposal, dH_host, finite_host)
+        fn = lambda p, s, prop, d, f, e: tracked_accept(  # noqa: E731
+            lat, p, s, prop, exact_solver, d, f, eig_new=e)
+        states, info = jax.vmap(fn, in_axes=(params_axis, 0, 0, 0, 0,
+                                             None if eig_new is None else 0)
+                                )(params, states, proposal, dH_host,
+                                  finite_host, eig_new)
     else:
-        fn = lambda p, s, prop: tracked_accept(lat, p, s, prop,  # noqa: E731
-                                               exact_solver)
-        states, info = jax.vmap(fn, in_axes=(params_axis, 0, 0))(
-            params, states, proposal)
+        fn = lambda p, s, prop, e: tracked_accept(lat, p, s, prop,  # noqa: E731
+                                                  exact_solver, eig_new=e)
+        states, info = jax.vmap(fn, in_axes=(params_axis, 0, 0,
+                                             None if eig_new is None else 0)
+                                )(params, states, proposal, eig_new)
     obs = None
     if measure:
         obs = jax.vmap(functools.partial(measure_observables_real, lat),
@@ -245,13 +303,13 @@ def _tracked_accept_jit(lat, params, states, proposal, measure=True,
 
 @functools.partial(jax.jit,
                    static_argnums=(0, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14,
-                                   15, 16, 17))
+                                   15, 16, 17, 18, 19))
 def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
                        refine_iters, measure=True, params_axis=None,
                        dt_axis=None, polish_iters=0, ns_steps=2,
                        rot_dtype=None, final_leapfrog=True,
                        polish_precision="highest", polish_correction=False,
-                       unroll=1):
+                       unroll=1, rot_scheme="ns", use_pallas_s=False):
     """``n_cheap`` cheap-anchor sweeps + (when ``final_leapfrog``) the
     following (anchor) sweep's leapfrog, fused into ONE program — pure
     matmuls throughout (no eigh, so it is safe on the target compiler),
@@ -280,7 +338,8 @@ def _tracked_block_jit(lat, params, states, n_cheap, Nt, dt, tracked_iters,
                                               tracked_iters, r_iters,
                                               p_iters, ns_steps, rot_dtype,
                                               polish_precision,
-                                              polish_correction, unroll)
+                                              polish_correction, unroll,
+                                              rot_scheme, use_pallas_s)
         return jax.vmap(fn, in_axes=(params_axis, 0, dt_axis))(
             params, states, dt_arr)
 
@@ -342,7 +401,7 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                         polish_iters=4, ns_steps=2, rot_dtype=None,
                         max_fused=8, exact_solver="qdwh",
                         polish_precision="highest", polish_correction=False,
-                        unroll=1):
+                        unroll=1, rot_scheme="ns", use_pallas_s=False):
     """Host-sequenced tracked segment; same interface/results shape as
     run_segment_real(eigh_mode="tracked") but crash-safe on the target
     compiler.
@@ -390,7 +449,9 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
             proposal = _tracked_leapfrog_jit(lat, params, states, Nt, dt,
                                              tracked_iters, params_axis,
                                              dt_axis, 0, 0, ns_steps,
-                                             rot_dtype, unroll=unroll)
+                                             rot_dtype, unroll=unroll,
+                                             rot_scheme=rot_scheme,
+                                             use_pallas_s=use_pallas_s)
             states, info, obs = _tracked_accept_jit(lat, params, states,
                                                     proposal, measure,
                                                     params_axis, False,
@@ -423,7 +484,8 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                     lat, params, states, c, Nt, dt, tracked_iters,
                     refine_iters, measure, params_axis, dt_axis,
                     polish_iters, ns_steps, rot_dtype, False,
-                    polish_precision, polish_correction, unroll)
+                    polish_precision, polish_correction, unroll,
+                    rot_scheme, use_pallas_s)
                 if recs is not None:
                     record(*recs)
                 n_cheap -= c
@@ -431,7 +493,7 @@ def run_segment_tracked(lat, params, states, n_sweeps, Nt, dt,
                 lat, params, states, n_cheap, Nt, dt, tracked_iters,
                 refine_iters, measure, params_axis, dt_axis, polish_iters,
                 ns_steps, rot_dtype, True, polish_precision,
-                polish_correction, unroll)
+                polish_correction, unroll, rot_scheme, use_pallas_s)
             if recs is not None:
                 record(*recs)
             states, info, obs = _tracked_accept_jit(lat, params, states,
@@ -479,7 +541,8 @@ def _hostacc_fingerprint(params, disorder, delta_re, delta_im,
 def run_segment_hostacc(lat, params, states, n_sweeps, Nt, dt, *,
                         measure=True, params_axis=None, dt_axis=None,
                         tracked_iters=6, ns_steps=2, rot_dtype=None,
-                        exact_solver="qdwh", pot_cache=None):
+                        exact_solver="qdwh", pot_cache=None,
+                        rot_scheme="ns", use_pallas_s=False):
     """Tracked segment with the host-f64 Metropolis readout
     (ops/host_energy.py) — for β beyond the f32 conditioning wall
     (β ≳ 3e3), where on-device dH noise of order β·√(2N)·2e-7·‖M‖
@@ -529,7 +592,9 @@ def run_segment_hostacc(lat, params, states, n_sweeps, Nt, dt, *,
     for _ in range(n_sweeps):
         proposal = _tracked_leapfrog_jit(lat, params, states, Nt, dt,
                                          tracked_iters, params_axis,
-                                         dt_axis, 0, 0, ns_steps, rot_dtype)
+                                         dt_axis, 0, 0, ns_steps, rot_dtype,
+                                         rot_scheme=rot_scheme,
+                                         use_pallas_s=use_pallas_s)
         dre, dim_, pre, pim, pi0r, pi0i = (np.asarray(proposal[i])
                                            for i in range(6))
         pot_new = potential_batch_np(lat, params, disorder, dre, dim_,

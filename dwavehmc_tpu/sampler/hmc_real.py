@@ -54,7 +54,11 @@ def init_chain_state_real(lat: LatticeSpec, params: ModelParams, key, *,
                           dtype=jnp.float32, n_imp: float | None = None,
                           delta0_re=None, delta0_im=None,
                           disorder=None,
-                          exact_solver: str = "qdwh") -> HMCStateReal:
+                          exact_solver: str = "qdwh",
+                          diagonalize: bool = True) -> HMCStateReal:
+    """``diagonalize=False`` returns the state with ZERO eigenpairs — for
+    callers that diagonalize the whole batch afterwards outside vmap (the
+    floor-guarded PH init in parallel/ensemble.init_ensemble_real)."""
     from ..models.params import sample_disorder
 
     k_dis, k_delta, k_chain = jax.random.split(key, 3)
@@ -70,10 +74,17 @@ def init_chain_state_real(lat: LatticeSpec, params: ModelParams, key, *,
     delta0_im = (jnp.zeros_like(delta0_re) if delta0_im is None
                  else delta0_im.astype(dtype))
 
-    M = assemble_embedding(
-        lat, static_embedding(lat, params.t, params.tp, params.mu, disorder),
-        delta0_re, delta0_im)
-    evals, X, Y = _exact_diagonalize(M, exact_solver)
+    if diagonalize:
+        M = assemble_embedding(
+            lat, static_embedding(lat, params.t, params.tp, params.mu,
+                                  disorder),
+            delta0_re, delta0_im)
+        evals, X, Y = _exact_diagonalize(M, exact_solver)
+    else:
+        dim = 2 * N
+        evals = jnp.zeros((dim,), dtype)
+        X = jnp.zeros((dim, dim), dtype)
+        Y = jnp.zeros((dim, dim), dtype)
     z = jnp.zeros_like(delta0_re)
     return HMCStateReal(delta0_re, delta0_im, z, z, disorder,
                         evals, X, Y, k_chain)
@@ -108,7 +119,8 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
                      polish_iters: int = 6, ns_steps: int = 2,
                      rot_dtype=None, polish_precision: str = "highest",
                      polish_correction: bool = False,
-                     unroll: int = 1):
+                     unroll: int = 1, rot_scheme: str = "ns",
+                     use_pallas_s: bool = False):
     """Phase 1 of the split tracked sweep: momentum refresh + fully tracked
     leapfrog (no exact eigh anywhere — the target TPU compiler faults when
     the embedding eigh and the tracked matmul loop share one program).
@@ -158,7 +170,9 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
         e, X, Y, res = tracked_eigh_nofallback(hr, hi, X, Y,
                                                n_iter=tracked_iters,
                                                ns_steps=ns_steps,
-                                               rot_dtype=rot_dtype)
+                                               rot_dtype=rot_dtype,
+                                               rot_scheme=rot_scheme,
+                                               use_pallas_s=use_pallas_s)
         Fr, Fi, _, _ = hmc_forces_real(lat, dre, dim_, e, X, Y, beta, J)
         pre = pre + dt * Fr
         pim = pim + dt * Fi
@@ -191,7 +205,8 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
             e_f, X_f, Y_f, res_end = tracked_eigh_nofallback(
                 hr, hi, X_f, Y_f, n_iter=refine_iters,
                 eval_precision="highest" if polish_iters == 0 else None,
-                eval_correction=polish_correction and polish_iters == 0)
+                eval_correction=polish_correction and polish_iters == 0,
+                rot_scheme=rot_scheme, use_pallas_s=use_pallas_s)
         if polish_iters > 0:
             # phase 2: full-precision polish to the f32 floor +
             # Metropolis-grade eigenvalue readout.  ``polish_precision``
@@ -207,7 +222,8 @@ def tracked_leapfrog(lat: LatticeSpec, params: ModelParams,
             e_f, X_f, Y_f, res_end = tracked_eigh_nofallback(
                 hr, hi, X_f, Y_f, n_iter=polish_iters,
                 precision=polish_precision, eval_precision="highest",
-                eval_correction=polish_correction)
+                eval_correction=polish_correction,
+                rot_scheme=rot_scheme, use_pallas_s=use_pallas_s)
 
     return (dre, dim_, pre, pim, pi_re0, pi_im0, key,
             k_acc, jnp.max(res), e_f, X_f, Y_f, res_end)
@@ -279,7 +295,7 @@ def _exact_diagonalize(M, solver: str = "qdwh"):
 def tracked_accept(lat: LatticeSpec, params: ModelParams,
                    state: HMCStateReal, proposal,
                    exact_solver: str = "qdwh",
-                   dH_host=None, finite_host=None
+                   dH_host=None, finite_host=None, eig_new=None
                    ) -> tuple[HMCStateReal, SweepInfo]:
     """Phase 2: exact embedding eigh of the proposal, difference-based ΔH,
     Metropolis select.  Runs as its own program (see tracked_leapfrog).
@@ -289,7 +305,13 @@ def tracked_accept(lat: LatticeSpec, params: ModelParams,
     for β beyond the f32 conditioning wall.  The exact eigh still runs:
     the accepted state must carry anchor-grade eigenpairs for forces,
     observables and transport; only the accept DECISION uses the host
-    energies."""
+    energies.
+
+    ``eig_new``: precomputed ``(evals, X, Y)`` of the proposal's BdG
+    matrix, skipping the internal diagonalization — the floor-guarded PH
+    anchor path computes the batch's eigenpairs OUTSIDE the per-chain
+    vmap (its ``lax.cond`` fallback must not lower to select;
+    parallel/ensemble._tracked_accept_jit)."""
     beta, J, mass = params.beta, params.J, params.mass
     dre, dim_, pre, pim, pi_re0, pi_im0, key, k_acc, res = proposal[:9]
 
@@ -301,10 +323,13 @@ def tracked_accept(lat: LatticeSpec, params: ModelParams,
     dre_s = _finite_or_zero(dre)
     dim_s = _finite_or_zero(dim_)
 
-    M_static = static_embedding(lat, params.t, params.tp, params.mu,
-                                state.disorder)
-    M = assemble_embedding(lat, M_static, dre_s, dim_s)
-    evals_n, X_n, Y_n = _exact_diagonalize(M, exact_solver)
+    if eig_new is not None:
+        evals_n, X_n, Y_n = eig_new
+    else:
+        M_static = static_embedding(lat, params.t, params.tp, params.mu,
+                                    state.disorder)
+        M = assemble_embedding(lat, M_static, dre_s, dim_s)
+        evals_n, X_n, Y_n = _exact_diagonalize(M, exact_solver)
 
     d_kin = jnp.sum(pre**2 + pim**2 - pi_re0**2 - pi_im0**2) / (2.0 * mass)
     d_bos = (beta / (2.0 * J)) * jnp.sum(

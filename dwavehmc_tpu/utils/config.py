@@ -67,14 +67,33 @@ class RunConfig:
     #                                 leading O(res²/gap) readout error so
     #                                 polish_iters can shrink — validate
     #                                 bias on hardware before flipping)
-    exact_solver: str = "qdwh"      # anchor/init exact eigensolver:
-    #                                 "qdwh" (XLA eigh on the full
-    #                                 embedding) | "ph" (PH-split
-    #                                 half-dimension solver, ops/ph_eigh)
+    exact_solver: str = "ph"        # anchor/init exact eigensolver:
+    #                                 "ph" (default: PH-split half-dim
+    #                                 solver behind the runtime floor
+    #                                 guard — lax.cond falls back to QDWH
+    #                                 when the spectrum sits under the
+    #                                 minimax schedule's 1e-5·‖M‖ floor;
+    #                                 ops/ph_eigh.diagonalize_embedding_
+    #                                 ph_guarded; measured +10% end-to-end
+    #                                 at 24×24/b64, decision parity 0.977
+    #                                 — examples/ph_anchor_ab_24x24.json)
+    #                                 | "qdwh" (XLA eigh on the full
+    #                                 embedding, no guard needed)
     rot_dtype: str = "float32"      # "float32" | "bfloat16": storage dtype of
     #                                 in-trajectory tracked rotations (bf16 is
     #                                 ~1.2x faster at 24x24/b64, bias-validated;
     #                                 endpoint refine/polish always f32)
+    rot_scheme: str = "ns"          # "ns" | "exp2": tracked rotation
+    #                                 application.  "exp2" = U(I+S+S²/2):
+    #                                 Gram error S⁴/4 (vs −S² for
+    #                                 U(I+S)), so one Newton–Schulz step
+    #                                 beats the "ns" scheme's two at 18
+    #                                 vs 21 fast-path matmuls/iteration
+    #                                 (ops/tracked_eigh.tracked_step) —
+    #                                 validate acceptance on hardware
+    #                                 before flipping the default
+    use_pallas_s: bool | None = None  # fused Pallas rotation-generator
+    #                                 kernel; None = auto (on on TPU)
     metropolis_readout: str = "device"  # "device" | "host": where the
     #                                 Metropolis ΔH is evaluated.  "host"
     #                                 moves the once-per-sweep energy
@@ -142,6 +161,23 @@ class RunConfig:
         """None (= carry dtype) unless bf16 rotations are requested."""
         return jnp.bfloat16 if self.rot_dtype == "bfloat16" else None
 
+    def resolved_ns_steps(self) -> int:
+        """Newton–Schulz steps per in-trajectory rotation: the exp2
+        scheme starts from Gram error S⁴/4, so ONE step reaches ~σ⁸/16 —
+        strictly tighter than the ns scheme's two steps (~σ⁸)."""
+        return 1 if self.rot_scheme == "exp2" else 2
+
+    def use_pallas_rot(self) -> bool:
+        """Route the tracked rotation-generator construction through the
+        fused Pallas kernel (ops/pallas_kernels.rotation_s_parts) —
+        follows the global Pallas default (on on TPU, off on CPU where
+        the XLA path is what the oracle tests pin)."""
+        if self.use_pallas_s is not None:
+            return self.use_pallas_s
+        from ..ops.pallas_kernels import pallas_default
+
+        return pallas_default()
+
     def resolved_path(self) -> str:
         """"real" (complex-free) on TPU, "complex" elsewhere, unless forced.
 
@@ -171,6 +207,12 @@ class RunConfig:
             raise ValueError(
                 f"metropolis_readout={self.metropolis_readout!r}: expected "
                 "'device' or 'host'")
+        if self.rot_scheme not in ("ns", "exp2"):
+            raise ValueError(f"rot_scheme={self.rot_scheme!r}: expected "
+                             "'ns' or 'exp2'")
+        if self.exact_solver not in ("qdwh", "ph"):
+            raise ValueError(f"exact_solver={self.exact_solver!r}: expected "
+                             "'qdwh' or 'ph'")
         if self.metropolis_readout == "host":
             if self.eigh_mode != "tracked" or self.resolved_path() != "real":
                 raise ValueError(
@@ -187,7 +229,13 @@ def add_cli_args(parser: argparse.ArgumentParser,
     d = defaults or RunConfig()
     for f in dataclasses.fields(RunConfig):
         val = getattr(d, f.name)
-        if f.type == "bool" or isinstance(val, bool):
+        if f.type == "bool | None":      # tri-state: auto/None, true, false
+            parser.add_argument(
+                f"--{f.name}",
+                type=lambda s: (None if s.lower() in ("none", "auto")
+                                else s.lower() in ("1", "true", "yes")),
+                default=val)
+        elif f.type == "bool" or isinstance(val, bool):
             parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in
                                 ("1", "true", "yes"), default=val)
         elif val is None:

@@ -290,3 +290,31 @@ def test_chunked_init_matches_full_init():
                            dtype=jnp.float32, n_imp=0.25, init_chunk=2)
     for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_exp2_scheme_segment_samples_validly():
+    """The exp2 rotation scheme (with the fused Pallas S kernel) drives a
+    full tracked segment with cheap anchors: finite dH throughout, healthy
+    acceptance, identical-shape records.  The proposal differs from the
+    ns scheme (different rotation algebra) — Metropolis correctness is
+    scheme-independent, which is what this pins."""
+    params = make_params(W=0.5, n_imp=0.25, beta=10.0, J=1.0,
+                         dtype=jnp.float64)
+    states0 = init_ensemble_real(LAT, params, jax.random.PRNGKey(4), 3,
+                                 dtype=jnp.float64, n_imp=0.25)
+    Nt = 4
+    dt = calc_optimal_dt(10.0, 1.0, 1.0, Nt)
+
+    s, seg = run_segment_tracked(LAT, params, states0, 6, Nt, dt,
+                                 True, None, None, 6, anchor_every=3,
+                                 refine_iters=8, polish_iters=4,
+                                 ns_steps=1, rot_scheme="exp2",
+                                 use_pallas_s=True)
+    assert seg.dH.shape == (6, 3)
+    assert np.isfinite(np.asarray(seg.dH)).all()
+    assert np.asarray(seg.accepted).mean() > 0.3
+    assert np.isfinite(np.asarray(s.evals)).all()
+    # the carried basis stays orthonormal through the exp2 pipeline
+    U = np.asarray(s.X[0]) + 1j * np.asarray(s.Y[0])
+    np.testing.assert_allclose(U.conj().T @ U, np.eye(U.shape[1]),
+                               atol=1e-6)
