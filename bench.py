@@ -16,7 +16,15 @@ trajectories/sec.  (Documented estimate, not a measured number.)
 Env knobs: BENCH_BATCH (default 8), BENCH_L (16), BENCH_NT (6),
 BENCH_SWEEPS (20), BENCH_REPS (3), BENCH_SKIP_EIGH (0),
 BENCH_ANCHOR_EVERY (10), BENCH_ROT_DTYPE (bfloat16|float32),
-BENCH_EXACT_SOLVER (qdwh|ph — the anchor/init eigensolver).
+BENCH_EXACT_SOLVER (ph|qdwh — the anchor/init eigensolver; "ph" runs
+the floor-guarded PH-split solver), BENCH_ROT_SCHEME (ns|exp2),
+BENCH_PALLAS_S (1|0 — fused rotation-construction kernel),
+BENCH_PRODUCTION (1|0 — the 24×24/b64 production-shape leg),
+BENCH_CAPACITY (1|0 — the 32×32/b40 single-chip HBM-max anchor).
+
+The emitted JSON carries the 16×16 headline (round-over-round
+comparability) plus ``production_24x24`` and ``capacity_32x32`` legs —
+the shapes the README's claims live at (VERDICT r4 item 4).
 
 Defaults are the VALIDATED production config (bf16 in-trajectory
 rotations + exact anchors every 10 sweeps): bias measured on-TPU at
@@ -66,23 +74,27 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 def tracked_model_flops(L: int, Nt: int, batch: int, n_sweeps: int,
                         tracked_iters: int, anchor_every: int,
                         refine_iters: int, polish_iters: int = 0,
-                        ns_steps: int = 2) -> float:
+                        ns_steps: int = 2, scheme: str = "ns") -> float:
     """Model FLOPs of the tracked-rotation matmul pipeline per segment
     (counts only the (2N)³ rotation matmuls — forces, eighs and VPU work
     excluded, so the resulting MFU slightly understates true utilization).
 
-    Per tracked_step with the 3-mult complex algebra: project_T 6 + U·S 3
-    + ns_steps×Newton–Schulz 6·ns = (9+6·ns_steps) matmuls of 2n³ flops
-    (n = 2L²), with ``ns_steps`` applying to the in-trajectory rotations
-    only — the endpoint refine phase always re-unitarizes at ns=2
-    (21 matmuls/iter; Metropolis-grade basis), and the polish runs
-    4-mult "highest" precision (28/iter).
+    Per tracked_step with the 3-mult complex algebra: project_T 6 +
+    apply (U·S 3 for "ns"; S² + U·V = 6 for "exp2") + 6·ns_steps
+    Newton–Schulz matmuls of 2n³ flops (n = 2L²), with ``ns_steps``
+    applying to the in-trajectory rotations only — the endpoint refine
+    phase always re-unitarizes at ns=2, and the polish runs 4-mult
+    "highest" precision (8 project + 4/8 apply + 16 NS).
     """
     n = 2 * L * L
     mm = 2.0 * n**3
-    per_iter = 9 + 6 * ns_steps
+    apply_fast = 6 if scheme == "exp2" else 3
+    per_iter = 6 + apply_fast + 6 * ns_steps
     per_step = per_iter * mm * tracked_iters
-    cheap_extra = (21 * refine_iters + 28 * polish_iters) * mm
+    refine_per = 6 + apply_fast + 12
+    polish_per = 8 + (8 if scheme == "exp2" else 4) + 16
+    cheap_extra = (refine_per * refine_iters
+                   + polish_per * polish_iters) * mm
     n_anchor = (n_sweeps // anchor_every if anchor_every > 1 else n_sweeps)
     n_cheap = n_sweeps - n_anchor
     return batch * (n_sweeps * Nt * per_step + n_cheap * cheap_extra)
@@ -274,7 +286,12 @@ def main():
         if path != "real":
             return seg_fn(lat, params, states, sweeps, Nt, dt, True, None)
         t_iters = int(os.environ.get("BENCH_TRACKED_ITERS", 6))
-        ns = int(os.environ.get("BENCH_NS_STEPS", 2))
+        scheme = os.environ.get("BENCH_ROT_SCHEME", "ns")
+        # exp2's validated pairing is a single Newton–Schulz step
+        ns = int(os.environ.get("BENCH_NS_STEPS",
+                                1 if scheme == "exp2" else 2))
+        pal_s = os.environ.get("BENCH_PALLAS_S", "1") == "1"
+        solver = os.environ.get("BENCH_EXACT_SOLVER", "ph")
         # BENCH_ROT_DTYPE=bfloat16: bf16-storage in-trajectory rotations
         rot = (jnp.bfloat16
                if os.environ.get("BENCH_ROT_DTYPE", "bfloat16") == "bfloat16" else None)
@@ -284,8 +301,9 @@ def main():
             return run_segment_tracked(lat, params, states, sweeps, Nt, dt,
                                        True, None, None, t_iters,
                                        ns_steps=ns, rot_dtype=rot,
-                                       exact_solver=os.environ.get(
-                                           "BENCH_EXACT_SOLVER", "qdwh"))
+                                       exact_solver=solver,
+                                       rot_scheme=scheme,
+                                       use_pallas_s=pal_s)
         if mode == "tracked_fast":
             # cheap anchors: exact eigh every 5th sweep; Metropolis uses the
             # refined+polished tracked endpoint spectrum in between
@@ -294,8 +312,9 @@ def main():
                 t_iters, int(os.environ.get("BENCH_ANCHOR_EVERY", 10)),
                 int(os.environ.get("BENCH_REFINE_ITERS", 12)),
                 int(os.environ.get("BENCH_POLISH_ITERS", 4)), ns, rot,
-                exact_solver=os.environ.get("BENCH_EXACT_SOLVER", "qdwh"),
-                unroll=int(os.environ.get("BENCH_LEAPFROG_UNROLL", 1)))
+                exact_solver=solver,
+                unroll=int(os.environ.get("BENCH_LEAPFROG_UNROLL", 1)),
+                rot_scheme=scheme, use_pallas_s=pal_s)
         return seg_fn(lat, params, states, sweeps, Nt, dt, True, None,
                       None, mode)
 
@@ -325,9 +344,11 @@ def main():
                        if mode == "tracked_fast" else 0)
             p_iters = (int(os.environ.get("BENCH_POLISH_ITERS", 4))
                        if mode == "tracked_fast" else 0)
+            scheme = os.environ.get("BENCH_ROT_SCHEME", "ns")
             flops = tracked_model_flops(
                 L, Nt, batch, sweeps, t_iters, a_every, r_iters, p_iters,
-                int(os.environ.get("BENCH_NS_STEPS", 2)))
+                int(os.environ.get("BENCH_NS_STEPS",
+                                   1 if scheme == "exp2" else 2)), scheme)
             out["model_tflops"] = round(flops / best / 1e12, 2)
             out["mfu_pct"] = round(100 * flops / best / 1e12
                                    / V5E_BF16_PEAK_TFLOPS, 2)
@@ -348,6 +369,146 @@ def main():
         print(json.dumps({"metric": "bench_failed", "value": 0,
                           "unit": "traj/s", "vs_baseline": 0}))
         return
+
+    # ---- production-shape legs (VERDICT r4 item 4): the shapes the
+    # README's claims live at, driver-verified round over round ----------
+    def shape_leg(Lp, bp, Ntp, n_sweeps, n_therm_p, reps_p, init_chunk,
+                  eigh_bench, nt_therm=None):
+        """One tracked_fast leg at (Lp, bp): init → short therm → timed
+        segments (+ optional QDWH/PH eigh timing).  Production config
+        knobs (K/refine/polish/rot/scheme) come from the same env as the
+        headline."""
+        from dwavehmc_tpu.models.bdg_real import (
+            assemble_embedding, diagonalize_embedding, static_embedding,
+        )
+        from dwavehmc_tpu.ops.ph_eigh import diagonalize_embedding_ph
+
+        latp = LatticeSpec(Lp, Lp)
+        pp = make_params(t=1.0, tp=-0.35, mu=-1.08, W=1.0, n_imp=0.05,
+                         beta=beta, J=J, mass=mass, dtype=jnp.float32)
+        scheme = os.environ.get("BENCH_ROT_SCHEME", "ns")
+        ns = int(os.environ.get("BENCH_NS_STEPS",
+                                1 if scheme == "exp2" else 2))
+        pal_s = os.environ.get("BENCH_PALLAS_S", "1") == "1"
+        solver = os.environ.get("BENCH_EXACT_SOLVER", "ph")
+        rot = (jnp.bfloat16
+               if os.environ.get("BENCH_ROT_DTYPE", "bfloat16")
+               == "bfloat16" else None)
+        K = int(os.environ.get("BENCH_ANCHOR_EVERY", 10))
+        r_iters = int(os.environ.get("BENCH_REFINE_ITERS", 12))
+        p_iters = int(os.environ.get("BENCH_POLISH_ITERS", 4))
+        t_iters = int(os.environ.get("BENCH_TRACKED_ITERS", 6))
+
+        t0 = time.perf_counter()
+        st = init_fn(latp, pp, jax.random.PRNGKey(1), bp,
+                     dtype=jnp.float32, n_imp=0.05,
+                     exact_solver=solver, init_chunk=init_chunk)
+        _ = np.asarray(st.evals)
+        log(f"[{Lp}x{Lp}/b{bp}] init: {time.perf_counter()-t0:.1f}s")
+
+        eigh = {}
+        if eigh_bench:
+            def batched(solver_fn):
+                def f(p, dre, dim_, dis):
+                    def one(dr, di, w):
+                        Ms = static_embedding(latp, p.t, p.tp, p.mu, w)
+                        return solver_fn(
+                            assemble_embedding(latp, Ms, dr, di))[0]
+                    return jax.vmap(one)(dre, dim_, dis)
+                return jax.jit(f)
+            args = (pp, st.delta_re, st.delta_im, st.disorder)
+            dim = 4 * latp.n_sites
+            for name, fn in (("qdwh", batched(diagonalize_embedding)),
+                             ("ph", batched(diagonalize_embedding_ph))):
+                e = fn(*args)
+                _ = np.asarray(e)
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    e = fn(*args)
+                _ = np.asarray(e)
+                ms = (time.perf_counter() - t0) / 3 * 1e3
+                eigh[f"eigh_{name}_ms"] = round(ms, 2)
+                eigh[f"eigh_{name}_tflops_eff"] = round(
+                    9 * bp * dim**3 / (ms * 1e-3) / 1e12, 2)
+            log(f"[{Lp}x{Lp}/b{bp}] eigh: {eigh}")
+
+        Nt_th = (nt_therm if nt_therm is not None
+                 else int(os.environ.get("BENCH_NT_THERM", 20)))
+        st, seg = _rst(latp, pp, st, n_therm_p, Nt_th,
+                       calc_optimal_dt(beta, J, mass, Nt_th),
+                       False, None, None, t_iters)
+        _ = np.asarray(seg.accepted)
+        dtp = calc_optimal_dt(beta, J, mass, Ntp)
+
+        def seg_run(st):
+            return run_segment_tracked(
+                latp, pp, st, n_sweeps, Ntp, dtp, False, None, None,
+                t_iters, K, r_iters, p_iters, ns, rot,
+                exact_solver=solver, rot_scheme=scheme, use_pallas_s=pal_s)
+
+        t0 = time.perf_counter()
+        st, seg = seg_run(st)
+        _ = np.asarray(seg.accepted)
+        log(f"[{Lp}x{Lp}/b{bp}] segment compile+run: "
+            f"{time.perf_counter()-t0:.1f}s")
+        times = []
+        for r in range(reps_p):
+            t0 = time.perf_counter()
+            st, seg = seg_run(st)
+            acc = float(np.mean(np.asarray(seg.accepted)))
+            times.append(time.perf_counter() - t0)
+            log(f"[{Lp}x{Lp}/b{bp}] rep {r}: {times[-1]:.3f}s")
+        best = min(times)
+        flops = tracked_model_flops(Lp, Ntp, bp, n_sweeps, t_iters, K,
+                                    r_iters, p_iters, ns, scheme)
+        leg = {"traj_per_sec": round(bp * n_sweeps / best, 3),
+               "acceptance": round(acc, 3),
+               "effective_traj_per_sec": round(bp * n_sweeps / best * acc,
+                                               3),
+               "vs_baseline": round(bp * n_sweeps / best
+                                    / reference_cpu_traj_per_sec(Lp, Ntp),
+                                    2),
+               "model_tflops": round(flops / best / 1e12, 2),
+               "mfu_pct_nominal": round(100 * flops / best / 1e12
+                                        / V5E_BF16_PEAK_TFLOPS, 2),
+               "config": {"Nt": Ntp, "sweeps": n_sweeps, "K": K,
+                          "scheme": scheme, "ns_steps": ns,
+                          "exact_solver": solver, "pallas_s": pal_s},
+               **eigh}
+        log(f"[{Lp}x{Lp}/b{bp}] {leg['traj_per_sec']} traj/s "
+            f"acc={acc:.3f} {leg['model_tflops']} TF/s "
+            f"({leg['mfu_pct_nominal']}% nominal)")
+        return leg
+
+    production = None
+    if (path == "real"
+            and os.environ.get("BENCH_PRODUCTION", "1") == "1"):
+        try:
+            production = shape_leg(int(os.environ.get("BENCH_PROD_L", 24)),
+                                   int(os.environ.get("BENCH_PROD_B", 64)),
+                                   6, n_sweeps=10, n_therm_p=6,
+                                   reps_p=2, init_chunk=None,
+                                   eigh_bench=True)
+        except Exception as e:  # noqa: BLE001 — legs must not kill headline
+            log(f"[production] FAILED: {type(e).__name__}: {str(e)[:200]}")
+            production = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
+    capacity = None
+    if (path == "real"
+            and os.environ.get("BENCH_CAPACITY", "1") == "1"):
+        try:
+            # 40 chains of 32×32 = the measured single-chip HBM maximum
+            # (48 RESOURCE_EXHAUSTs; utils/memory.py model)
+            # therm at Nt=6: a 20-step sweep at this shape is ~70
+            # validated-step-equivalents — inside the ~90 s device
+            # watchdog's danger zone (_watchdog_chunk_caps warns)
+            capacity = shape_leg(int(os.environ.get("BENCH_CAP_L", 32)),
+                                 int(os.environ.get("BENCH_CAP_B", 40)),
+                                 6, n_sweeps=4, n_therm_p=2,
+                                 reps_p=1, init_chunk=8, eigh_bench=False,
+                                 nt_therm=6)
+        except Exception as e:  # noqa: BLE001
+            log(f"[capacity] FAILED: {type(e).__name__}: {str(e)[:200]}")
+            capacity = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
 
     # headline = best EFFECTIVE sampling rate (traj/s × acceptance):
     # raw throughput with collapsed acceptance is not progress
@@ -381,6 +542,8 @@ def main():
         "eigh_ph_ms": None if eigh_ph_ms is None else round(eigh_ph_ms, 3),
         "eigh_ph_speedup": (None if (eigh_ph_ms is None or eigh_ms is None)
                             else round(eigh_ms / eigh_ph_ms, 2)),
+        "production_24x24_b64": production,
+        "capacity_32x32_b40": capacity,
         "device": str(dev),
         "times_s": r["times_s"],
     }))

@@ -68,6 +68,8 @@ def weighted_lorentzian_sum(omega, de, w2, eta, *, interpret=False):
     Padding: ω padded with zeros (sliced off), pairs padded with w2=0.
     """
     dtype = jnp.float32
+    if not interpret and not on_tpu():
+        interpret = True          # CPU oracles run the same f32 tile math
     omega = omega.astype(dtype)
     de = de.reshape(-1).astype(dtype)
     w2 = w2.reshape(-1).astype(dtype)
@@ -132,8 +134,21 @@ def _rot_s_kernel(tr_ref, ti_ref, drow_ref, dcol_ref, smax_ref,
     gap = d_col - d_row                              # d[None,:] − d[:,None]
 
     mag = jnp.sqrt(tr * tr + ti * ti)
-    theta = 0.5 * jnp.arctan2(2.0 * mag, jnp.abs(gap))
-    theta = jnp.minimum(theta, smax_ref[0])
+    # θ = min(½·atan2(2|T|, |gap|), S_MAX) without atan2 (Mosaic has no
+    # TC lowering for it): both args are ≥ 0, so atan2 = atan(r) with
+    # r = 2|T|/|gap|, and since the result is clamped at S_MAX ≤ 0.15 we
+    # may first clamp r at tan(2·S_MAX) and then use the odd series
+    # atan(t) ≈ t − t³/3 + t⁵/5 — truncation error ≤ t⁷/7 ≤ 2e-6 on the
+    # clamped domain (t ≤ tan(0.3) ≈ 0.31), far below f32 relevance for
+    # a deliberately damped rotation angle.
+    smax = smax_ref[0]
+    r_cap = smax_ref[1]          # tan(2·S_MAX), computed outside (no
+    #                              transcendentals inside the kernel)
+    r = 2.0 * mag / jnp.maximum(jnp.abs(gap), 1e-30)
+    t = jnp.minimum(r, r_cap)
+    t2 = t * t
+    theta = 0.5 * t * (1.0 - t2 * (1.0 / 3.0 - t2 * 0.2))
+    theta = jnp.minimum(theta, smax)
     inv = 1.0 / jnp.maximum(mag, 1e-30)
     ok = mag > 1e-30
     pr = jnp.where(ok, tr * inv, 0.0)
@@ -149,7 +164,7 @@ def _rot_s_kernel(tr_ref, ti_ref, drow_ref, dcol_ref, smax_ref,
     si_ref[:] = pi_ * coef
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("smax", "interpret"))
 def rotation_s_parts(tr, ti, d, smax, *, interpret=False):
     """Fused rotation-generator construction (see _rot_s_kernel).
 
@@ -205,7 +220,8 @@ def rotation_s_parts(tr, ti, d, smax, *, interpret=False):
             bytes_accessed=4 * 4 * npad * npad,
             transcendentals=npad * npad,
         ),
-    )(tr, ti, d_strip, d_strip, jnp.asarray([smax], dtype))
+    )(tr, ti, d_strip, d_strip,
+      jnp.asarray([smax, np.tan(2.0 * float(smax))], dtype))
     if pad:
         sr, si = sr[:n, :n], si[:n, :n]
     return sr, si

@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""A/B the round-5 rotation-path variants on hardware at the production
+shape: fused Pallas S-construction kernel, exp2 rotation scheme, and
+guarded-PH anchors — against the r4-validated baseline (ns scheme, XLA
+S-build, QDWH anchors).
+
+Per variant: (a) paired |dH_cheap − dH_exact| bias on identical proposals
+(the cheap-anchor exactness audit), (b) a timed tracked_fast segment
+(traj/s + acceptance), (c) model TFLOP/s under that variant's matmul
+count.  Decisions: ship a variant only if acceptance is unchanged within
+noise and the dH bias stays at the validated ~1e-3 level.
+
+Writes examples/rotation_ab_<L>x<L>.json.  Env knobs: AB_L (24),
+AB_BATCH (64), AB_NT (6), AB_THERM (10), AB_PAIRED (3), AB_SWEEPS (10),
+AB_K (10), AB_ROT (bfloat16), AB_VARIANTS (comma list to subset).
+"""
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(HERE, ".jax_cache"))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+#: (tag, rot_scheme, ns_steps, use_pallas_s, exact_solver)
+VARIANTS = [
+    ("baseline", "ns", 2, False, "qdwh"),    # r4 production config
+    ("pallas", "ns", 2, True, "qdwh"),       # fused S kernel only
+    ("exp2", "exp2", 1, True, "qdwh"),       # + exp2 rotation (1 NS)
+    ("exp2_ph", "exp2", 1, True, "ph"),      # + guarded PH anchors
+    ("exp2_ns0", "exp2", 0, True, "qdwh"),   # aggressive: no NS at all
+]
+
+
+def model_tflops(L, Nt, batch, n_sweeps, tracked_iters, anchor_every,
+                 refine_iters, polish_iters, ns_steps, scheme):
+    """Fast-path matmul count per tracked iteration: project 6 + apply
+    (3 for ns / 6 for exp2 incl. S²) + 6·ns_steps Newton–Schulz; endpoint
+    refine keeps ns=2 conventions (15/18 + 12... the refine/polish phases
+    use the same scheme, refine at ns=2: 6+apply+12, polish 4-mult
+    "highest": 8 + apply4 + 16)."""
+    n = 2 * L * L
+    mm = 2.0 * n**3
+    apply_fast = 6 if scheme == "exp2" else 3
+    per_iter = 6 + apply_fast + 6 * ns_steps
+    per_step = per_iter * mm * tracked_iters
+    refine_per = 6 + apply_fast + 12          # endpoint refine: ns=2
+    apply_hp = 8 if scheme == "exp2" else 4   # 4-mult algebra
+    polish_per = 8 + apply_hp + 16
+    cheap_extra = (refine_per * refine_iters
+                   + polish_per * polish_iters) * mm
+    n_anchor = (n_sweeps // anchor_every if anchor_every > 1 else n_sweeps)
+    n_cheap = n_sweeps - n_anchor
+    return batch * (n_sweeps * Nt * per_step + n_cheap * cheap_extra)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dwavehmc_tpu import LatticeSpec, calc_optimal_dt, make_params
+    from dwavehmc_tpu.parallel.ensemble import (
+        _tracked_accept_jit,
+        _tracked_leapfrog_jit,
+        init_ensemble_real,
+        run_segment_tracked,
+    )
+
+    L = int(os.environ.get("AB_L", 24))
+    batch = int(os.environ.get("AB_BATCH", 64))
+    Nt = int(os.environ.get("AB_NT", 6))
+    therm = int(os.environ.get("AB_THERM", 10))
+    paired = int(os.environ.get("AB_PAIRED", 3))
+    sweeps = int(os.environ.get("AB_SWEEPS", 10))
+    K = int(os.environ.get("AB_K", 10))
+    rot_name = os.environ.get("AB_ROT", "bfloat16")
+    rot = jnp.bfloat16 if rot_name == "bfloat16" else None
+    sel = os.environ.get("AB_VARIANTS")
+    variants = [v for v in VARIANTS if sel is None or v[0] in sel.split(",")]
+    beta, J, mass = 10.0, 0.8, 1.0
+    refine_iters, tracked_iters, polish_iters = 12, 6, 4
+
+    lat = LatticeSpec(L, L)
+    params = make_params(t=1.0, tp=-0.35, mu=-1.08, W=1.0, n_imp=0.05,
+                         beta=beta, J=J, mass=mass, dtype=jnp.float32)
+    dt = calc_optimal_dt(beta, J, mass, Nt)
+    log(f"ab_rotation: device={jax.devices()[0]} L={L} batch={batch} "
+        f"K={K} rot={rot_name} variants={[v[0] for v in variants]}")
+
+    t0 = time.perf_counter()
+    states = init_ensemble_real(lat, params, jax.random.PRNGKey(0), batch,
+                                dtype=jnp.float32, n_imp=0.05)
+    _ = np.asarray(states.evals)
+    log(f"init: {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    states, seg = run_segment_tracked(lat, params, states, therm, 20,
+                                      calc_optimal_dt(beta, J, mass, 20),
+                                      False, None, None, tracked_iters)
+    log(f"therm {time.perf_counter()-t0:.1f}s "
+        f"acc={float(np.mean(np.asarray(seg.accepted))):.2f}")
+
+    results = []
+    for tag, scheme, ns, pallas_s, solver in variants:
+        try:
+            # paired dH bias on identical proposals (cheap vs exact)
+            st = states
+            errs = []
+            t0 = time.perf_counter()
+            for _ in range(paired):
+                prop = _tracked_leapfrog_jit(
+                    lat, params, st, Nt, dt, tracked_iters, None, None,
+                    refine_iters, polish_iters, ns, rot, "highest", False,
+                    1, scheme, pallas_s)
+                _, info_cheap, _ = _tracked_accept_jit(lat, params, st,
+                                                       prop, False, None,
+                                                       True)
+                st, info_exact, _ = _tracked_accept_jit(lat, params, st,
+                                                        prop, False, None,
+                                                        False, solver)
+                errs.append(np.abs(np.asarray(info_cheap.dH, np.float64)
+                                   - np.asarray(info_exact.dH, np.float64)))
+            errs = np.concatenate(errs)
+            log(f"[{tag}] paired pass: {time.perf_counter()-t0:.1f}s "
+                f"max|ddH|={errs.max():.3e}")
+
+            def seg_run(st):
+                return run_segment_tracked(
+                    lat, params, st, sweeps, Nt, dt, False, None, None,
+                    tracked_iters, K, refine_iters, polish_iters, ns, rot,
+                    exact_solver=solver, rot_scheme=scheme,
+                    use_pallas_s=pallas_s)
+
+            t0 = time.perf_counter()
+            st2, seg = seg_run(states)
+            _ = np.asarray(seg.accepted)
+            log(f"[{tag}] segment compile+run: {time.perf_counter()-t0:.1f}s")
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                st2, seg = seg_run(st2)
+                acc = float(np.mean(np.asarray(seg.accepted)))
+                times.append(time.perf_counter() - t0)
+            t_best = min(times)
+            flops = model_tflops(L, Nt, batch, sweeps, tracked_iters, K,
+                                 refine_iters, polish_iters, ns, scheme)
+            row = {"variant": tag, "rot_scheme": scheme, "ns_steps": ns,
+                   "use_pallas_s": pallas_s, "exact_solver": solver,
+                   "max_dH_err": float(errs.max()),
+                   "mean_dH_err": float(errs.mean()),
+                   "traj_per_sec": round(batch * sweeps / t_best, 2),
+                   "acceptance": round(acc, 4),
+                   "model_tflops": round(flops / t_best / 1e12, 2),
+                   "mfu_pct_nominal": round(flops / t_best / 1e12
+                                            / 197.0 * 100, 2),
+                   "wall_s": round(t_best, 3)}
+            results.append(row)
+            log(f"[{tag}] {row['traj_per_sec']} traj/s acc={acc:.3f} "
+                f"{row['model_tflops']} TF/s "
+                f"({row['mfu_pct_nominal']}% nominal)")
+        except Exception as e:  # noqa: BLE001 — one variant must not kill the A/B
+            log(f"[{tag}] FAILED: {type(e).__name__}: {str(e)[:200]}")
+            results.append({"variant": tag, "error":
+                            f"{type(e).__name__}: {str(e)[:200]}"})
+
+    out = {"config": {"L": L, "batch": batch, "Nt": Nt, "K": K,
+                      "rot_dtype": rot_name, "refine_iters": refine_iters,
+                      "polish_iters": polish_iters, "sweeps": sweeps,
+                      "paired": paired},
+           "device": str(jax.devices()[0]), "results": results}
+    path = os.path.join(HERE, "examples", f"rotation_ab_{L}x{L}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    log(f"wrote {path}")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
