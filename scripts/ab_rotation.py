@@ -30,13 +30,21 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-#: (tag, rot_scheme, ns_steps, use_pallas_s, exact_solver)
+#: (tag, rot_scheme, ns_steps, use_pallas_s, exact_solver, overrides)
+#: overrides: optional dict with tracked_iters / refine_iters /
+#: polish_iters / polish_precision to probe iteration trims — exp2's
+#: tighter per-iteration error may buy the same quality in fewer passes
 VARIANTS = [
-    ("baseline", "ns", 2, False, "qdwh"),    # r4 production config
-    ("pallas", "ns", 2, True, "qdwh"),       # fused S kernel only
-    ("exp2", "exp2", 1, True, "qdwh"),       # + exp2 rotation (1 NS)
-    ("exp2_ph", "exp2", 1, True, "ph"),      # + guarded PH anchors
-    ("exp2_ns0", "exp2", 0, True, "qdwh"),   # aggressive: no NS at all
+    ("baseline", "ns", 2, False, "qdwh", {}),   # r4 production config
+    ("pallas", "ns", 2, True, "qdwh", {}),      # fused S kernel only
+    ("exp2", "exp2", 1, True, "qdwh", {}),      # + exp2 rotation (1 NS)
+    ("exp2_ph", "exp2", 1, True, "ph", {}),     # + guarded PH anchors
+    ("exp2_ns0", "exp2", 0, True, "qdwh", {}),  # refuted: acc collapses
+    # second-pass trims on top of exp2_ph:
+    ("exp2_ph_t5", "exp2", 1, True, "ph", {"tracked_iters": 5}),
+    ("exp2_ph_t4", "exp2", 1, True, "ph", {"tracked_iters": 4}),
+    ("exp2_ph_r8", "exp2", 1, True, "ph", {"refine_iters": 8}),
+    ("exp2_ph_hp", "exp2", 1, True, "ph", {"polish_precision": "high"}),
 ]
 
 
@@ -86,6 +94,9 @@ def main():
     rot = jnp.bfloat16 if rot_name == "bfloat16" else None
     sel = os.environ.get("AB_VARIANTS")
     variants = [v for v in VARIANTS if sel is None or v[0] in sel.split(",")]
+    if sel is not None:
+        missing = set(sel.split(",")) - {v[0] for v in VARIANTS}
+        assert not missing, f"unknown variants: {missing}"
     beta, J, mass = 10.0, 0.8, 1.0
     refine_iters, tracked_iters, polish_iters = 12, 6, 4
 
@@ -109,7 +120,11 @@ def main():
         f"acc={float(np.mean(np.asarray(seg.accepted))):.2f}")
 
     results = []
-    for tag, scheme, ns, pallas_s, solver in variants:
+    for tag, scheme, ns, pallas_s, solver, ov in variants:
+        t_it = ov.get("tracked_iters", tracked_iters)
+        r_it = ov.get("refine_iters", refine_iters)
+        p_it = ov.get("polish_iters", polish_iters)
+        p_prec = ov.get("polish_precision", "highest")
         try:
             # paired dH bias on identical proposals (cheap vs exact)
             st = states
@@ -117,8 +132,8 @@ def main():
             t0 = time.perf_counter()
             for _ in range(paired):
                 prop = _tracked_leapfrog_jit(
-                    lat, params, st, Nt, dt, tracked_iters, None, None,
-                    refine_iters, polish_iters, ns, rot, "highest", False,
+                    lat, params, st, Nt, dt, t_it, None, None,
+                    r_it, p_it, ns, rot, p_prec, False,
                     1, scheme, pallas_s)
                 _, info_cheap, _ = _tracked_accept_jit(lat, params, st,
                                                        prop, False, None,
@@ -135,9 +150,9 @@ def main():
             def seg_run(st):
                 return run_segment_tracked(
                     lat, params, st, sweeps, Nt, dt, False, None, None,
-                    tracked_iters, K, refine_iters, polish_iters, ns, rot,
+                    t_it, K, r_it, p_it, ns, rot,
                     exact_solver=solver, rot_scheme=scheme,
-                    use_pallas_s=pallas_s)
+                    use_pallas_s=pallas_s, polish_precision=p_prec)
 
             t0 = time.perf_counter()
             st2, seg = seg_run(states)
@@ -150,10 +165,11 @@ def main():
                 acc = float(np.mean(np.asarray(seg.accepted)))
                 times.append(time.perf_counter() - t0)
             t_best = min(times)
-            flops = model_tflops(L, Nt, batch, sweeps, tracked_iters, K,
-                                 refine_iters, polish_iters, ns, scheme)
+            flops = model_tflops(L, Nt, batch, sweeps, t_it, K,
+                                 r_it, p_it, ns, scheme)
             row = {"variant": tag, "rot_scheme": scheme, "ns_steps": ns,
                    "use_pallas_s": pallas_s, "exact_solver": solver,
+                   **{k: v for k, v in ov.items()},
                    "max_dH_err": float(errs.max()),
                    "mean_dH_err": float(errs.mean()),
                    "traj_per_sec": round(batch * sweeps / t_best, 2),
