@@ -129,6 +129,7 @@ def main():
             # paired dH bias on identical proposals (cheap vs exact)
             st = states
             errs = []
+            errs_nonfinite = 0
             t0 = time.perf_counter()
             for _ in range(paired):
                 prop = _tracked_leapfrog_jit(
@@ -141,11 +142,18 @@ def main():
                 st, info_exact, _ = _tracked_accept_jit(lat, params, st,
                                                         prop, False, None,
                                                         False, solver)
-                errs.append(np.abs(np.asarray(info_cheap.dH, np.float64)
-                                   - np.asarray(info_exact.dH, np.float64)))
+                dc = np.asarray(info_cheap.dH, np.float64)
+                de = np.asarray(info_exact.dH, np.float64)
+                # a diverged proposal has non-finite dH on BOTH sides and
+                # is rejected by both — not a bias; compare where both
+                # are finite and count the rest
+                both = np.isfinite(dc) & np.isfinite(de)
+                errs.append(np.abs(dc[both] - de[both]))
+                errs_nonfinite += int((~both).sum())
             errs = np.concatenate(errs)
             log(f"[{tag}] paired pass: {time.perf_counter()-t0:.1f}s "
-                f"max|ddH|={errs.max():.3e}")
+                f"max|ddH|={errs.max():.3e} (nonfinite pairs "
+                f"{errs_nonfinite})")
 
             def seg_run(st):
                 return run_segment_tracked(
@@ -172,6 +180,7 @@ def main():
                    **{k: v for k, v in ov.items()},
                    "max_dH_err": float(errs.max()),
                    "mean_dH_err": float(errs.mean()),
+                   "paired_nonfinite": errs_nonfinite,
                    "traj_per_sec": round(batch * sweeps / t_best, 2),
                    "acceptance": round(acc, 4),
                    "model_tflops": round(flops / t_best / 1e12, 2),
