@@ -45,6 +45,13 @@ VARIANTS = [
     ("exp2_ph_t4", "exp2", 1, True, "ph", {"tracked_iters": 4}),
     ("exp2_ph_r8", "exp2", 1, True, "ph", {"refine_iters": 8}),
     ("exp2_ph_hp", "exp2", 1, True, "ph", {"polish_precision": "high"}),
+    # 24×24 pass 1 found exp2 loses acceptance at 2N=1152 (0.867 vs
+    # 0.916) without a wall win — the orthogonal combination to probe is
+    # ns scheme + kernel + guarded PH anchors, plus its trims:
+    ("ns_ph", "ns", 2, True, "ph", {}),
+    ("ns_ph_r8", "ns", 2, True, "ph", {"refine_iters": 8}),
+    ("ns_ph_hp", "ns", 2, True, "ph", {"polish_precision": "high"}),
+    ("ns_ph_t5", "ns", 2, True, "ph", {"tracked_iters": 5}),
 ]
 
 
@@ -201,7 +208,10 @@ def main():
                       "polish_iters": polish_iters, "sweeps": sweeps,
                       "paired": paired},
            "device": str(jax.devices()[0]), "results": results}
-    path = os.path.join(HERE, "examples", f"rotation_ab_{L}x{L}.json")
+    suffix = os.environ.get("AB_OUT_SUFFIX", "")
+    suffix = f"_{suffix}" if suffix else ""
+    path = os.path.join(HERE, "examples",
+                        f"rotation_ab_{L}x{L}{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     log(f"wrote {path}")
