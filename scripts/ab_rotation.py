@@ -52,6 +52,16 @@ VARIANTS = [
     ("ns_ph_r8", "ns", 2, True, "ph", {"refine_iters": 8}),
     ("ns_ph_hp", "ns", 2, True, "ph", {"polish_precision": "high"}),
     ("ns_ph_t5", "ns", 2, True, "ph", {"tracked_iters": 5}),
+    # pass 3: the pass-2 trims each won individually with equal-or-better
+    # acceptance (r8 17.28@0.927, hp 17.36@0.948, t5 17.33@0.961 vs ns_ph
+    # 16.09@0.920) — combine them, and probe one step further
+    ("combo", "ns", 2, True, "ph",
+     {"tracked_iters": 5, "refine_iters": 8, "polish_precision": "high"}),
+    ("combo_t4", "ns", 2, True, "ph",
+     {"tracked_iters": 4, "refine_iters": 8, "polish_precision": "high"}),
+    ("combo_p3", "ns", 2, True, "ph",
+     {"tracked_iters": 5, "refine_iters": 8, "polish_iters": 3,
+      "polish_precision": "high"}),
 ]
 
 
