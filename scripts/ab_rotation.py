@@ -120,7 +120,13 @@ def main():
     lat = LatticeSpec(L, L)
     params = make_params(t=1.0, tp=-0.35, mu=-1.08, W=1.0, n_imp=0.05,
                          beta=beta, J=J, mass=mass, dtype=jnp.float32)
-    dt = calc_optimal_dt(beta, J, mass, Nt)
+    # AB_DT_FACTOR: scale the harmonic-heuristic dt.  At 24×24 the
+    # K=10 cheap-anchor mode at full dt0 sits in the proposal-lag regime
+    # (segment med_dH ≤ −1.7, pass 4) — production scans are protected by
+    # the dt controller's NEG_DH_GUARD, so honest variant comparisons
+    # must run at a guard-compliant dt.
+    dt_factor = float(os.environ.get("AB_DT_FACTOR", 1.0))
+    dt = dt_factor * calc_optimal_dt(beta, J, mass, Nt)
     log(f"ab_rotation: device={jax.devices()[0]} L={L} batch={batch} "
         f"K={K} rot={rot_name} variants={[v[0] for v in variants]}")
 
@@ -184,12 +190,22 @@ def main():
             _ = np.asarray(seg.accepted)
             log(f"[{tag}] segment compile+run: {time.perf_counter()-t0:.1f}s")
             times = []
+            dH_all = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 st2, seg = seg_run(st2)
                 acc = float(np.mean(np.asarray(seg.accepted)))
+                dH_all.append(np.asarray(seg.dH, np.float64))
                 times.append(time.perf_counter() - t0)
             t_best = min(times)
+            dH_all = np.concatenate([d.ravel() for d in dH_all])
+            dH_fin = dH_all[np.isfinite(dH_all)]
+            # reversibility diagnostic (drivers/scan.py NEG_DH_GUARD): a
+            # reversible proposal at equilibrium must have median dH >= ~0;
+            # a trimmed tracked basis can LAG (non-reversible map), pinning
+            # acceptance near 1 with median dH < 0 — raw traj/s with that
+            # signature is bias, not speedup
+            med_dH = float(np.median(dH_fin)) if dH_fin.size else None
             flops = model_tflops(L, Nt, batch, sweeps, t_it, K,
                                  r_it, p_it, ns, scheme)
             row = {"variant": tag, "rot_scheme": scheme, "ns_steps": ns,
@@ -200,12 +216,19 @@ def main():
                    "paired_nonfinite": errs_nonfinite,
                    "traj_per_sec": round(batch * sweeps / t_best, 2),
                    "acceptance": round(acc, 4),
+                   "segment_med_dH": (None if med_dH is None
+                                      else round(med_dH, 4)),
+                   "segment_mean_dH": (None if not dH_fin.size
+                                       else round(float(dH_fin.mean()), 4)),
+                   "lag_bias_flag": bool(med_dH is not None
+                                         and med_dH < -0.5),
                    "model_tflops": round(flops / t_best / 1e12, 2),
                    "mfu_pct_nominal": round(flops / t_best / 1e12
                                             / 197.0 * 100, 2),
                    "wall_s": round(t_best, 3)}
             results.append(row)
             log(f"[{tag}] {row['traj_per_sec']} traj/s acc={acc:.3f} "
+                f"med_dH={med_dH if med_dH is None else round(med_dH, 3)} "
                 f"{row['model_tflops']} TF/s "
                 f"({row['mfu_pct_nominal']}% nominal)")
         except Exception as e:  # noqa: BLE001 — one variant must not kill the A/B
@@ -214,6 +237,7 @@ def main():
                             f"{type(e).__name__}: {str(e)[:200]}"})
 
     out = {"config": {"L": L, "batch": batch, "Nt": Nt, "K": K,
+                      "dt_factor": dt_factor,
                       "rot_dtype": rot_name, "refine_iters": refine_iters,
                       "polish_iters": polish_iters, "sweeps": sweeps,
                       "paired": paired},
