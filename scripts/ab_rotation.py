@@ -62,6 +62,14 @@ VARIANTS = [
     ("combo_p3", "ns", 2, True, "ph",
      {"tracked_iters": 5, "refine_iters": 8, "polish_iters": 3,
       "polish_precision": "high"}),
+    # pass 6: the cheap-endpoint readout deficit (Σ|T_ii| < Σ|E| by
+    # ~0.14, i.e. ddH ~ +1.4 at β=10 — measured on the r4 BASELINE too,
+    # so pre-existing at 24×24) is exactly the O(res²/gap) error the
+    # Rayleigh correction removes; pc variants flip it on
+    ("ns_ph_pc", "ns", 2, True, "ph", {"polish_correction": True}),
+    ("ns_ph_pc_p6", "ns", 2, True, "ph",
+     {"polish_correction": True, "polish_iters": 6}),
+    ("exp2e_ph", "exp2", 1, True, "ph", {}),   # exp2 endpoint readout ref
 ]
 
 
@@ -148,6 +156,7 @@ def main():
         r_it = ov.get("refine_iters", refine_iters)
         p_it = ov.get("polish_iters", polish_iters)
         p_prec = ov.get("polish_precision", "highest")
+        p_corr = ov.get("polish_correction", False)
         try:
             # paired dH bias on identical proposals (cheap vs exact)
             st = states
@@ -157,7 +166,7 @@ def main():
             for _ in range(paired):
                 prop = _tracked_leapfrog_jit(
                     lat, params, st, Nt, dt, t_it, None, None,
-                    r_it, p_it, ns, rot, p_prec, False,
+                    r_it, p_it, ns, rot, p_prec, p_corr,
                     1, scheme, pallas_s)
                 _, info_cheap, _ = _tracked_accept_jit(lat, params, st,
                                                        prop, False, None,
@@ -183,7 +192,8 @@ def main():
                     lat, params, st, sweeps, Nt, dt, False, None, None,
                     t_it, K, r_it, p_it, ns, rot,
                     exact_solver=solver, rot_scheme=scheme,
-                    use_pallas_s=pallas_s, polish_precision=p_prec)
+                    use_pallas_s=pallas_s, polish_precision=p_prec,
+                    polish_correction=p_corr)
 
             t0 = time.perf_counter()
             st2, seg = seg_run(states)
