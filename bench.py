@@ -438,7 +438,8 @@ def main():
                        calc_optimal_dt(beta, J, mass, Nt_th),
                        False, None, None, t_iters)
         _ = np.asarray(seg.accepted)
-        dtp = calc_optimal_dt(beta, J, mass, Ntp)
+        dtp = (float(os.environ.get("BENCH_DT_FACTOR", 1.0))
+               * calc_optimal_dt(beta, J, mass, Ntp))
 
         def seg_run(st):
             return run_segment_tracked(
@@ -452,17 +453,28 @@ def main():
         log(f"[{Lp}x{Lp}/b{bp}] segment compile+run: "
             f"{time.perf_counter()-t0:.1f}s")
         times = []
+        dH_all = []
         for r in range(reps_p):
             t0 = time.perf_counter()
             st, seg = seg_run(st)
             acc = float(np.mean(np.asarray(seg.accepted)))
+            dH_all.append(np.asarray(seg.dH, np.float64).ravel())
             times.append(time.perf_counter() - t0)
             log(f"[{Lp}x{Lp}/b{bp}] rep {r}: {times[-1]:.3f}s")
         best = min(times)
+        dH_all = np.concatenate(dH_all)
+        dH_fin = dH_all[np.isfinite(dH_all)]
+        # reversibility diagnostic (drivers/scan.py NEG_DH_GUARD): median
+        # dH < -0.5 marks the tracked-lag regime where raw traj/s
+        # overstates honest sampling — reported, never hidden
+        med_dH = float(np.median(dH_fin)) if dH_fin.size else None
         flops = tracked_model_flops(Lp, Ntp, bp, n_sweeps, t_iters, K,
                                     r_iters, p_iters, ns, scheme)
         leg = {"traj_per_sec": round(bp * n_sweeps / best, 3),
                "acceptance": round(acc, 3),
+               "segment_med_dH": (None if med_dH is None
+                                  else round(med_dH, 3)),
+               "lag_bias_flag": bool(med_dH is not None and med_dH < -0.5),
                "effective_traj_per_sec": round(bp * n_sweeps / best * acc,
                                                3),
                "vs_baseline": round(bp * n_sweeps / best
