@@ -29,7 +29,13 @@ the shapes the README's claims live at (VERDICT r4 item 4).
 Defaults are the VALIDATED production config (bf16 in-trajectory
 rotations + exact anchors every 10 sweeps): bias measured on-TPU at
 max|dH_cheap−dH_exact| = 1.2e-3, equilibrium shift < 3e-4·SEM
-(examples/cheap_anchor_validation_bf16.json).
+(examples/cheap_anchor_validation_bf16.json).  Rotation scheme defaults
+to "exp2" (U(I+S+S²/2), 1 Newton–Schulz): at 16×16/b8 it runs +48%
+over "ns" at acceptance 0.93 (examples/rotation_ab_16x16.json), and at
+24×24/b64 its endpoint algebra removes the cheap-endpoint readout
+deficit the ns endpoint stalls at — paired dH bias 4.2 → 0.018 with
+median segment dH −0.001 (honest reversible sampler) at 15.69 traj/s,
+acc 0.953 (examples/rotation_ab_24x24_pass6_pc.json).
 """
 
 import json
@@ -286,7 +292,7 @@ def main():
         if path != "real":
             return seg_fn(lat, params, states, sweeps, Nt, dt, True, None)
         t_iters = int(os.environ.get("BENCH_TRACKED_ITERS", 6))
-        scheme = os.environ.get("BENCH_ROT_SCHEME", "ns")
+        scheme = os.environ.get("BENCH_ROT_SCHEME", "exp2")
         # exp2's validated pairing is a single Newton–Schulz step
         ns = int(os.environ.get("BENCH_NS_STEPS",
                                 1 if scheme == "exp2" else 2))
@@ -344,7 +350,7 @@ def main():
                        if mode == "tracked_fast" else 0)
             p_iters = (int(os.environ.get("BENCH_POLISH_ITERS", 4))
                        if mode == "tracked_fast" else 0)
-            scheme = os.environ.get("BENCH_ROT_SCHEME", "ns")
+            scheme = os.environ.get("BENCH_ROT_SCHEME", "exp2")
             flops = tracked_model_flops(
                 L, Nt, batch, sweeps, t_iters, a_every, r_iters, p_iters,
                 int(os.environ.get("BENCH_NS_STEPS",
@@ -386,7 +392,7 @@ def main():
         latp = LatticeSpec(Lp, Lp)
         pp = make_params(t=1.0, tp=-0.35, mu=-1.08, W=1.0, n_imp=0.05,
                          beta=beta, J=J, mass=mass, dtype=jnp.float32)
-        scheme = os.environ.get("BENCH_ROT_SCHEME", "ns")
+        scheme = os.environ.get("BENCH_ROT_SCHEME", "exp2")
         ns = int(os.environ.get("BENCH_NS_STEPS",
                                 1 if scheme == "exp2" else 2))
         pal_s = os.environ.get("BENCH_PALLAS_S", "1") == "1"

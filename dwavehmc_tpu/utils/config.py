@@ -83,15 +83,23 @@ class RunConfig:
     #                                 in-trajectory tracked rotations (bf16 is
     #                                 ~1.2x faster at 24x24/b64, bias-validated;
     #                                 endpoint refine/polish always f32)
-    rot_scheme: str = "ns"          # "ns" | "exp2": tracked rotation
-    #                                 application.  "exp2" = U(I+S+S²/2):
-    #                                 Gram error S⁴/4 (vs −S² for
-    #                                 U(I+S)), so one Newton–Schulz step
-    #                                 beats the "ns" scheme's two at 18
-    #                                 vs 21 fast-path matmuls/iteration
-    #                                 (ops/tracked_eigh.tracked_step) —
-    #                                 validate acceptance on hardware
-    #                                 before flipping the default
+    rot_scheme: str = "exp2"        # "exp2" (default) | "ns": tracked
+    #                                 rotation application.  "exp2" =
+    #                                 U(I+S+S²/2): Gram error S⁴/4 (vs
+    #                                 −S² for U(I+S)), so one
+    #                                 Newton–Schulz step beats the "ns"
+    #                                 scheme's two at 18 vs 21 fast-path
+    #                                 matmuls/iteration
+    #                                 (ops/tracked_eigh.tracked_step).
+    #                                 Hardware-validated default:
+    #                                 +48% at 16×16/b8 at acc 0.93
+    #                                 (examples/rotation_ab_16x16.json);
+    #                                 at 24×24/b64 the exp2 endpoint
+    #                                 algebra removes the ns endpoint's
+    #                                 cheap-readout deficit — paired dH
+    #                                 bias 4.2 → 0.018, median segment
+    #                                 dH −0.001 (reversible), acc 0.953
+    #                                 (rotation_ab_24x24_pass6_pc.json)
     use_pallas_s: bool | None = None  # fused Pallas rotation-generator
     #                                 kernel; None = auto (on on TPU)
     metropolis_readout: str = "device"  # "device" | "host": where the
