@@ -436,6 +436,29 @@ def main():
                 eigh[f"eigh_{name}_ms"] = round(ms, 2)
                 eigh[f"eigh_{name}_tflops_eff"] = round(
                     9 * bp * dim**3 / (ms * 1e-3) / 1e12, 2)
+            # measured MXU roofline at THIS operand shape (bp, 2N, 2N) —
+            # the honest MFU denominator: the chip's achievable chained
+            # bf16 batched-matmul rate here sits well under the nominal
+            # 197 TF/s peak, which only ~4096² shapes approach
+            # (BENCH_LOCAL.json matmul_ceiling_24x24_b64: 89 TF/s)
+            n2 = 2 * latp.n_sites
+            x0 = (jax.random.normal(jax.random.PRNGKey(2), (bp, n2, n2),
+                                    jnp.float32)
+                  / np.sqrt(n2)).astype(jnp.bfloat16)
+            n_mm = 30
+
+            @jax.jit
+            def mm_chain(x):
+                def body(c, _):
+                    return jnp.matmul(c, x).astype(jnp.bfloat16), None
+                return jax.lax.scan(body, x, None, length=n_mm)[0]
+
+            _ = np.asarray(mm_chain(x0)[0, 0, :2])     # compile
+            t0 = time.perf_counter()
+            _ = np.asarray(mm_chain(x0)[0, 0, :2])
+            dtm = time.perf_counter() - t0
+            eigh["matmul_ceiling_bf16_tflops"] = round(
+                2 * bp * n2**3 * n_mm / dtm / 1e12, 3)
             log(f"[{Lp}x{Lp}/b{bp}] eigh: {eigh}")
 
         Nt_th = (nt_therm if nt_therm is not None
@@ -489,6 +512,12 @@ def main():
                "model_tflops": round(flops / best / 1e12, 2),
                "mfu_pct_nominal": round(100 * flops / best / 1e12
                                         / V5E_BF16_PEAK_TFLOPS, 2),
+               # vs the MEASURED chained-matmul ceiling at this operand
+               # shape — the roofline the pipeline can actually reach
+               "mfu_pct_measured_ceiling": (
+                   None if not eigh.get("matmul_ceiling_bf16_tflops")
+                   else round(100 * flops / best / 1e12
+                              / eigh["matmul_ceiling_bf16_tflops"], 1)),
                "config": {"Nt": Ntp, "sweeps": n_sweeps, "K": K,
                           "scheme": scheme, "ns_steps": ns,
                           "exact_solver": solver, "pallas_s": pal_s},
