@@ -70,6 +70,15 @@ VARIANTS = [
     ("ns_ph_pc_p6", "ns", 2, True, "ph",
      {"polish_correction": True, "polish_iters": 6}),
     ("exp2e_ph", "exp2", 1, True, "ph", {}),   # exp2 endpoint readout ref
+    # pass 8: combine the two pass-7 honest winners (r8: +8.5% at
+    # med_dH −0.003 / bias 0.017; hp: +8.8% at med_dH 0.0 / bias 0.103)
+    # and probe one step past each — tracked_iters trims stay rejected
+    # (t4: acc 0.99 with med_dH −0.20 = lag bias, pass 7)
+    ("exp2_ph_r8hp", "exp2", 1, True, "ph",
+     {"refine_iters": 8, "polish_precision": "high"}),
+    ("exp2_ph_r8hp_p3", "exp2", 1, True, "ph",
+     {"refine_iters": 8, "polish_iters": 3, "polish_precision": "high"}),
+    ("exp2_ph_r6", "exp2", 1, True, "ph", {"refine_iters": 6}),
 ]
 
 

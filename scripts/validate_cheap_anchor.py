@@ -60,6 +60,18 @@ def main():
                    help="second-order Rayleigh correction on the readout")
     p.add_argument("--rot_dtype", default=None, choices=(None, "bfloat16"),
                    help="storage dtype of the in-trajectory rotations")
+    p.add_argument("--rot_scheme", default="exp2", choices=("ns", "exp2"),
+                   help="tracked rotation application scheme")
+    p.add_argument("--ns_steps", type=int, default=None,
+                   help="Newton–Schulz steps (default: 1 for exp2, 2 for ns)")
+    p.add_argument("--exact_solver", default="ph", choices=("qdwh", "ph"),
+                   help="anchor/init exact eigensolver")
+    p.add_argument("--use_pallas_s", type=int, default=None,
+                   help="1|0: fused Pallas rotation-generator kernel "
+                        "(default: on on TPU)")
+    p.add_argument("--dt_factor", type=float, default=1.0,
+                   help="scale the harmonic-heuristic dt (24×24 trims are "
+                        "judged at 0.6 — the NEG_DH_GUARD-compliant point)")
     p.add_argument("--therm", type=int, default=10)
     p.add_argument("--paired", type=int, default=10,
                    help="number of paired cheap-vs-exact dH comparisons")
@@ -87,14 +99,25 @@ def main():
     lat = LatticeSpec(ns.L, ns.L)
     params = make_params(t=1.0, tp=-0.35, mu=-1.08, W=1.0, n_imp=0.05,
                          beta=ns.beta, J=ns.J, mass=1.0, dtype=jnp.float32)
-    dt = calc_optimal_dt(ns.beta, ns.J, 1.0, ns.Nt)
+    dt = ns.dt_factor * calc_optimal_dt(ns.beta, ns.J, 1.0, ns.Nt)
     rot = jnp.bfloat16 if ns.rot_dtype == "bfloat16" else None
+    scheme = ns.rot_scheme
+    nsteps = (ns.ns_steps if ns.ns_steps is not None
+              else (1 if scheme == "exp2" else 2))
+    if ns.use_pallas_s is None:
+        from dwavehmc_tpu.ops.pallas_kernels import pallas_default
+        pal_s = pallas_default()
+    else:
+        pal_s = bool(ns.use_pallas_s)
     log(f"device={jax.devices()[0]} L={ns.L} batch={ns.batch} "
         f"anchor_every={ns.anchor_every} refine_iters={ns.refine_iters} "
-        f"polish_iters={ns.polish_iters} rot_dtype={ns.rot_dtype}")
+        f"polish_iters={ns.polish_iters} rot_dtype={ns.rot_dtype} "
+        f"scheme={scheme} ns_steps={nsteps} solver={ns.exact_solver} "
+        f"pallas_s={pal_s} dt_factor={ns.dt_factor}")
 
     states = init_ensemble_real(lat, params, jax.random.PRNGKey(0),
-                                ns.batch, dtype=jnp.float32, n_imp=0.05)
+                                ns.batch, dtype=jnp.float32, n_imp=0.05,
+                                exact_solver=ns.exact_solver)
 
     t0 = time.time()
     states, seg = run_segment_tracked(lat, params, states, ns.therm, 20,
@@ -109,13 +132,13 @@ def main():
         prop = _tracked_leapfrog_jit(lat, params, states_c, ns.Nt, dt,
                                      ns.tracked_iters, None, None,
                                      ns.refine_iters, ns.polish_iters,
-                                     2, rot, ns.polish_precision,
-                                     ns.polish_correction)
+                                     nsteps, rot, ns.polish_precision,
+                                     ns.polish_correction, 1, scheme, pal_s)
         _, info_cheap, _ = _tracked_accept_jit(lat, params, states_c, prop,
                                                False, None, True)
         states_c, info_exact, _ = _tracked_accept_jit(lat, params, states_c,
                                                       prop, False, None,
-                                                      False)
+                                                      False, ns.exact_solver)
         dc = np.asarray(info_cheap.dH, dtype=np.float64)
         de = np.asarray(info_exact.dH, dtype=np.float64)
         res_end = np.asarray(prop[-1])
@@ -138,9 +161,11 @@ def main():
         st, seg = run_segment_tracked(lat, params, st, ns.sweeps, ns.Nt, dt,
                                       True, None, None, ns.tracked_iters,
                                       anchor_every, ns.refine_iters,
-                                      ns.polish_iters, 2, rot,
+                                      ns.polish_iters, nsteps, rot,
                                       polish_precision=ns.polish_precision,
-                                      polish_correction=ns.polish_correction)
+                                      polish_correction=ns.polish_correction,
+                                      exact_solver=ns.exact_solver,
+                                      rot_scheme=scheme, use_pallas_s=pal_s)
         wall = time.time() - t0
         o = seg.observables
         half = ns.sweeps // 2
@@ -175,7 +200,9 @@ def main():
                    ("L", "batch", "beta", "J", "Nt", "anchor_every",
                     "tracked_iters", "refine_iters", "polish_iters",
                     "polish_precision", "polish_correction", "therm",
-                    "paired", "sweeps", "rot_dtype")},
+                    "paired", "sweeps", "rot_dtype", "rot_scheme",
+                    "exact_solver", "dt_factor")},
+        "ns_steps": nsteps, "use_pallas_s": pal_s,
         "device": str(jax.devices()[0]),
         "paired_dH": {
             "max_abs_err": float(dh_err.max()),
