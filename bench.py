@@ -35,7 +35,13 @@ over "ns" at acceptance 0.93 (examples/rotation_ab_16x16.json), and at
 24×24/b64 its endpoint algebra removes the cheap-endpoint readout
 deficit the ns endpoint stalls at — paired dH bias 4.2 → 0.018 with
 median segment dH −0.001 (honest reversible sampler) at 15.69 traj/s,
-acc 0.953 (examples/rotation_ab_24x24_pass6_pc.json).
+acc 0.953 (examples/rotation_ab_24x24_pass6_pc.json).  Endpoint trims
+refine_iters=6 / polish_iters=3 (defaults) keep the paired bias at the
+0.0165 floor with med_dH ~0 at +19.6% traj/s (18.77 at 24×24/b64,
+examples/rotation_ab_24x24_pass9_refine.json); the production leg's
+default dt_factor is 0.6, the NEG_DH_GUARD-compliant operating point
+at this shape (full dt0 sits in the proposal-lag regime even for the
+r4 ns baseline — pass 5).
 """
 
 import json
@@ -316,8 +322,8 @@ def main():
             return run_segment_tracked(
                 lat, params, states, sweeps, Nt, dt, True, None, None,
                 t_iters, int(os.environ.get("BENCH_ANCHOR_EVERY", 10)),
-                int(os.environ.get("BENCH_REFINE_ITERS", 12)),
-                int(os.environ.get("BENCH_POLISH_ITERS", 4)), ns, rot,
+                int(os.environ.get("BENCH_REFINE_ITERS", 6)),
+                int(os.environ.get("BENCH_POLISH_ITERS", 3)), ns, rot,
                 exact_solver=solver,
                 unroll=int(os.environ.get("BENCH_LEAPFROG_UNROLL", 1)),
                 rot_scheme=scheme, use_pallas_s=pal_s)
@@ -346,9 +352,9 @@ def main():
             t_iters = int(os.environ.get("BENCH_TRACKED_ITERS", 6))
             a_every = (int(os.environ.get("BENCH_ANCHOR_EVERY", 10))
                        if mode == "tracked_fast" else 1)
-            r_iters = (int(os.environ.get("BENCH_REFINE_ITERS", 12))
+            r_iters = (int(os.environ.get("BENCH_REFINE_ITERS", 6))
                        if mode == "tracked_fast" else 0)
-            p_iters = (int(os.environ.get("BENCH_POLISH_ITERS", 4))
+            p_iters = (int(os.environ.get("BENCH_POLISH_ITERS", 3))
                        if mode == "tracked_fast" else 0)
             scheme = os.environ.get("BENCH_ROT_SCHEME", "exp2")
             flops = tracked_model_flops(
@@ -401,8 +407,8 @@ def main():
                if os.environ.get("BENCH_ROT_DTYPE", "bfloat16")
                == "bfloat16" else None)
         K = int(os.environ.get("BENCH_ANCHOR_EVERY", 10))
-        r_iters = int(os.environ.get("BENCH_REFINE_ITERS", 12))
-        p_iters = int(os.environ.get("BENCH_POLISH_ITERS", 4))
+        r_iters = int(os.environ.get("BENCH_REFINE_ITERS", 6))
+        p_iters = int(os.environ.get("BENCH_POLISH_ITERS", 3))
         t_iters = int(os.environ.get("BENCH_TRACKED_ITERS", 6))
 
         t0 = time.perf_counter()
@@ -467,7 +473,7 @@ def main():
                        calc_optimal_dt(beta, J, mass, Nt_th),
                        False, None, None, t_iters)
         _ = np.asarray(seg.accepted)
-        dtp = (float(os.environ.get("BENCH_DT_FACTOR", 1.0))
+        dtp = (float(os.environ.get("BENCH_DT_FACTOR", 0.6))
                * calc_optimal_dt(beta, J, mass, Ntp))
 
         def seg_run(st):

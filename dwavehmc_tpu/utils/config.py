@@ -51,11 +51,19 @@ class RunConfig:
     eigh_mode: str = "exact"        # "exact" | "tracked" (real path only)
     tracked_iters: int = 6          # refinement rotations per leapfrog step
     anchor_every: int = 1           # exact-eigh anchor every K sweeps
-    refine_iters: int = 12          # fast endpoint refinement (cheap anchors)
-    polish_iters: int = 4           # full-precision endpoint polish rotations
-    #                                 (4 reaches the same bias floor as 6:
-    #                                 max dH err 1.21e-3 measured on TPU;
-    #                                 2 degrades to 4.3e-3)
+    refine_iters: int = 6           # fast endpoint refinement (cheap anchors)
+    #                                 Under the exp2 endpoint algebra the
+    #                                 refine trim hits its bias floor
+    #                                 fast: 6 (and even 4) match 12's
+    #                                 paired bias (0.0165) at 24×24/b64
+    #                                 with med_dH ~0 (reversible) —
+    #                                 +19.6% traj/s with polish_iters=3
+    #                                 (rotation_ab_24x24_pass9_refine)
+    polish_iters: int = 3           # full-precision endpoint polish rotations
+    #                                 (3 reaches the 24×24 exp2 bias
+    #                                 floor — pass-9; under ns, 4 matched
+    #                                 6 at 1.21e-3 on 16×16 and 2
+    #                                 degraded to 4.3e-3)
     polish_precision: str = "highest"  # matmul precision of the polish
     #                                 ROTATIONS ("highest" = 6 MXU passes,
     #                                 "high" = 3); the eigenvalue readout

@@ -79,6 +79,14 @@ VARIANTS = [
     ("exp2_ph_r8hp_p3", "exp2", 1, True, "ph",
      {"refine_iters": 8, "polish_iters": 3, "polish_precision": "high"}),
     ("exp2_ph_r6", "exp2", 1, True, "ph", {"refine_iters": 6}),
+    # pass 9: the refine trim hits its bias floor fast under exp2 (r6
+    # bias 0.017 = r12's) — probe deeper, and polish-count trims at
+    # "highest" precision (hp's 0.1 bias sits AT the validation gate)
+    ("exp2_ph_r4", "exp2", 1, True, "ph", {"refine_iters": 4}),
+    ("exp2_ph_r6_p3", "exp2", 1, True, "ph",
+     {"refine_iters": 6, "polish_iters": 3}),
+    ("exp2_ph_r6hp_p3", "exp2", 1, True, "ph",
+     {"refine_iters": 6, "polish_iters": 3, "polish_precision": "high"}),
 ]
 
 
